@@ -1,0 +1,108 @@
+"""256-ary QPSK (QPSK256) modulation / demodulation.
+
+Capability parity with /root/reference/src/qpsk256.cu (API include/gsdr/
+qpsk256.h:125-230). Two constellation geometries, reproduced exactly:
+
+* rectangular (src/qpsk256.cu:29-38): 16x16 grid indexed i*16+q with
+  I = (i-7.5)/7.5*A, Q = (q-7.5)/7.5*A;
+* circular (src/qpsk256.cu:41-71): concentric rings of {1,8,16,24,32,40,48,
+  56} points at radii {0,.3,.6,.85,1.1,1.35,1.6,1.85}*A, ring p angle
+  2*pi*p/points + 0.5*ring_index, plus 31 remainder points at radius 0.95*A
+  and angle 2*pi*index/256.
+
+The reference requires a device-side init kernel + cudaMemcpyToSymbol into
+__constant__ memory before use (src/qpsk256.cu:262-295); here a
+constellation is just an array you pass in — build once with
+qpsk256_constellation().
+
+Demodulation replaces the reference's per-sample O(256) nearest-neighbor
+loop (src/qpsk256.cu:172-192) with one MXU matmul: argmin_i |x - C_i|^2 =
+argmin_i (|C_i|^2 - 2 Re(x conj(C_i))), computed for all samples against all
+256 points as an (N, 2) x (2, 256) dot. Ties break to the lowest symbol
+index, like the reference's strict < comparison.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+
+from gsdr_tpu.carray import ComplexArray, is_planar
+
+RECTANGULAR = 0
+CIRCULAR = 1
+
+
+def qpsk256_constellation(constellation_type=RECTANGULAR, amplitude=1.0,
+                          planar=False):
+    """Build the 256-point table, indexed by symbol value.
+
+    Returns complex64 by default, or a planar ComplexArray (TPU path) with
+    ``planar=True``. Built host-side in numpy — the functional replacement
+    for the reference's init-kernel + __constant__-memory upload dance
+    (src/qpsk256.cu:262-295).
+    """
+    a = float(amplitude)
+    pts = np.zeros(256, dtype=np.complex64)
+    if constellation_type == RECTANGULAR:
+        i = np.arange(16)
+        ii, qq = np.meshgrid(i, i, indexing="ij")
+        vals = ((ii - 7.5) / 7.5 * a + 1j * (qq - 7.5) / 7.5 * a)
+        pts[:] = vals.reshape(-1).astype(np.complex64)
+    elif constellation_type == CIRCULAR:
+        points_per_circle = [1, 8, 16, 24, 32, 40, 48, 56]
+        radii = [0.0, 0.3, 0.6, 0.85, 1.1, 1.35, 1.6, 1.85]
+        idx = 0
+        for circle, (points, radius) in enumerate(zip(points_per_circle, radii)):
+            points = min(points, 256 - idx)
+            r = radius * a
+            for p in range(points):
+                if idx >= 256:
+                    break
+                # np.float32 arithmetic mirrors the reference's device floats.
+                ang = 2.0 * np.pi * p / points + circle * 0.5
+                pts[idx] = np.complex64(r * np.cos(ang) + 1j * r * np.sin(ang))
+                idx += 1
+        while idx < 256:
+            ang = 2.0 * np.pi * idx / 256.0
+            r = 0.95 * a
+            pts[idx] = np.complex64(r * np.cos(ang) + 1j * r * np.sin(ang))
+            idx += 1
+    else:
+        raise ValueError(f"unknown constellation type {constellation_type}")
+    if planar:
+        return ComplexArray(
+            jnp.asarray(pts.real.copy(), dtype=jnp.float32),
+            jnp.asarray(pts.imag.copy(), dtype=jnp.float32),
+        )
+    return jnp.asarray(pts)
+
+
+def qpsk256_modulate(symbols, constellation):
+    """Symbol byte values (..., N) -> samples via table gather.
+
+    Parity with gsdrQpsk256Modulate (src/qpsk256.cu:74-101); the 4x variant
+    is a leading batch axis. Representation follows ``constellation``:
+    complex64 table -> complex64 samples, planar table -> ComplexArray.
+    """
+    symbols = jnp.asarray(symbols).astype(jnp.int32)
+    if is_planar(constellation):
+        return ComplexArray(constellation.re[symbols], constellation.im[symbols])
+    return jnp.asarray(constellation)[symbols]
+
+
+def qpsk256_demodulate(x, constellation, out_dtype=jnp.uint8):
+    """Complex samples (..., N) -> nearest-constellation symbol values.
+
+    One MXU matmul + argmin instead of the reference's exhaustive per-sample
+    loop (src/qpsk256.cu:154-195). Pass ``out_dtype=jnp.int32`` on the TPU
+    path (no uint8 at executable boundaries there).
+    """
+    xp = x if is_planar(x) else ComplexArray.from_complex(jnp.asarray(x))
+    cp = constellation if is_planar(constellation) else \
+        ComplexArray.from_complex(jnp.asarray(constellation))
+    shape = xp.shape
+    xf = jnp.stack([xp.re.reshape(-1), xp.im.reshape(-1)], axis=-1)  # (N, 2)
+    ct = jnp.stack([cp.re, cp.im], axis=0)  # (2, 256)
+    cross = jnp.dot(xf, ct, preferred_element_type=jnp.float32)  # (N, 256)
+    score = jnp.sum(ct * ct, axis=0)[None, :] - 2.0 * cross  # |C|^2 - 2 x.C
+    best = jnp.argmin(score, axis=-1).astype(out_dtype)
+    return best.reshape(shape)

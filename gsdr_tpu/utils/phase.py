@@ -1,0 +1,87 @@
+"""Exact long-stream oscillator phase in float32.
+
+The reference carries oscillator phase across calls via an absolute sample
+index taken mod sampleRate (src/adjustFrequency.cuh:25, src/am.cu:67), but
+its device-side phase math is dimensionally wrong (`fmod(timeSeconds, period)`
+mixes seconds with period fractions, src/adjustFrequency.cu:40 — SURVEY.md
+section 2.2 bug list). The *intended* semantics — local oscillator
+e^{j*2*pi*f*n/Fs} with phase continuity from the global sample index — are
+implemented here correctly, and with bounded float32 error over arbitrarily
+long streams.
+
+Method: we need frac(f * n / Fs) in [0, 1) for large integer n. Split the
+sample index into base-256 digits: n = sum_d digit_d * 256^d. Then
+
+    frac(f*n/Fs) = frac( sum_d digit_d * frac(f * 256^d / Fs) )
+
+The per-digit fractions frac(f * 256^d / Fs) are computed host-side in exact
+arbitrary-precision integer arithmetic when f and Fs are integral (the common
+SDR case), else in float64. On device each term is digit (< 256) times a
+fraction (< 1), so every intermediate stays < 256 and float32 rounding error
+is bounded by ~#digits * 256 * 2^-24 ~ 6e-5 cycles (~4e-4 rad) regardless of
+stream length. The reference's own float32 phase path is far looser.
+"""
+
+import math
+
+import jax.numpy as jnp
+
+_NUM_DIGITS = 4  # covers sample indices < 2^32 within a block
+_BASE_BITS = 8
+_BASE = 1 << _BASE_BITS
+
+
+def digit_fractions(freq_hz, sample_rate):
+    """Host-side per-digit phase fractions frac(freq * 256^d / Fs), d=0..3.
+
+    Exact (arbitrary-precision) when both freq and Fs are integral; float64
+    otherwise. Returns a list of Python floats in [0, 1).
+    """
+    fr = []
+    f, fs = float(freq_hz), float(sample_rate)
+    integral = f.is_integer() and fs.is_integer()
+    for d in range(_NUM_DIGITS):
+        if integral:
+            num = (int(f) * (_BASE ** d)) % int(fs)
+            fr.append(num / int(fs))
+        else:
+            fr.append(math.fmod(f * (_BASE ** d), fs) / fs)
+    return fr
+
+
+def phase_fraction(n, freq_hz, sample_rate):
+    """frac(freq * n / Fs) in [0, 1) for an int32 array of sample indices.
+
+    ``n`` must be non-negative and < 2^31. ``freq_hz`` / ``sample_rate`` are
+    static Python scalars (they select the host-computed digit fractions).
+    Negative frequencies are handled by conjugating: frac(-x) = 1 - frac(x).
+    """
+    neg = float(freq_hz) < 0
+    fr = digit_fractions(abs(float(freq_hz)), sample_rate)
+    n = jnp.asarray(n, dtype=jnp.int32)
+    acc = jnp.zeros(n.shape, dtype=jnp.float32)
+    for d in range(_NUM_DIGITS):
+        digit = jnp.bitwise_and(
+            jnp.right_shift(n, _BASE_BITS * d), _BASE - 1
+        ).astype(jnp.float32)
+        acc = acc + digit * jnp.float32(fr[d])
+    frac = acc - jnp.floor(acc)
+    if neg:
+        frac = jnp.where(frac > 0, 1.0 - frac, 0.0)
+    return frac
+
+
+def phase_fraction_offset(first_sample_index, freq_hz, sample_rate):
+    """Exact host-side frac(freq * n0 / Fs) for a static integer offset n0.
+
+    Used to fold an arbitrarily large global stream offset into a single
+    float32 starting fraction, so devices only ever see block-local indices:
+    frac(f*(n0+i)/Fs) = frac(frac(f*n0/Fs) + frac(f*i/Fs)).
+    """
+    f, fs = float(freq_hz), float(sample_rate)
+    n0 = int(first_sample_index)
+    if f.is_integer() and fs.is_integer():
+        return ((int(f) * n0) % int(fs)) / int(fs)
+    # float64 fallback for non-integral rates; error grows with n0 but the
+    # integral path covers all realistic SDR configurations exactly.
+    return (f * n0 / fs) % 1.0

@@ -1,0 +1,115 @@
+"""QPSK256 modem tests (intent of tests/test_qpsk256.cpp)."""
+
+import numpy as np
+import pytest
+
+from gsdr_tpu import qpsk256_constellation, qpsk256_demodulate, qpsk256_modulate
+from gsdr_tpu.ops.qpsk256 import CIRCULAR, RECTANGULAR
+from golden import awgn
+
+
+@pytest.fixture(scope="module")
+def rng():
+    return np.random.default_rng(31)
+
+
+def test_rectangular_geometry():
+    # 16x16 grid, I=(i-7.5)/7.5*A, Q=(q-7.5)/7.5*A (src/qpsk256.cu:29-38).
+    a = 2.0
+    c = np.asarray(qpsk256_constellation(RECTANGULAR, a))
+    assert c.shape == (256,)
+    assert len(np.unique(np.round(c, 5))) == 256
+    idx = 3 * 16 + 10
+    np.testing.assert_allclose(c[idx].real, (3 - 7.5) / 7.5 * a, rtol=1e-6)
+    np.testing.assert_allclose(c[idx].imag, (10 - 7.5) / 7.5 * a, rtol=1e-6)
+    np.testing.assert_allclose(np.max(np.abs(c.real)), a, rtol=1e-6)
+
+
+def test_circular_geometry():
+    # Rings {1,8,16,24,32,40,48,56} at radii {0,.3,.6,.85,1.1,1.35,1.6,1.85}*A,
+    # remainder 31 points at 0.95*A (src/qpsk256.cu:41-71).
+    a = 1.0
+    c = np.asarray(qpsk256_constellation(CIRCULAR, a))
+    assert c.shape == (256,)
+    assert len(np.unique(np.round(c, 5))) == 256
+    np.testing.assert_allclose(np.abs(c[0]), 0.0, atol=1e-7)
+    radii = np.abs(c)
+    counts = {
+        0.3: 8, 0.6: 16, 0.85: 24, 1.1: 32, 1.35: 40, 1.6: 48, 1.85: 56,
+        0.95: 31,
+    }
+    for r, k in counts.items():
+        assert np.sum(np.isclose(radii, r * a, atol=1e-5)) == k, f"ring {r}"
+
+
+@pytest.mark.parametrize("ctype", [RECTANGULAR, CIRCULAR])
+def test_loopback_ser_zero(rng, ctype):
+    # tests/test_qpsk256.cpp:105-128: ideal channel, SER == 0.
+    c = qpsk256_constellation(ctype, 1.0)
+    data = rng.integers(0, 256, size=4096, dtype=np.uint8)
+    s = qpsk256_modulate(data, c)
+    rec = np.asarray(qpsk256_demodulate(s, c))
+    np.testing.assert_array_equal(rec, data)
+
+
+def test_modulate_is_table_lookup():
+    c = qpsk256_constellation(RECTANGULAR, 1.0)
+    data = np.arange(256, dtype=np.uint8)
+    np.testing.assert_array_equal(np.asarray(qpsk256_modulate(data, c)), np.asarray(c))
+
+
+@pytest.mark.parametrize("snr_db", [15.0, 20.0, 25.0, 30.0])
+def test_ser_under_awgn_rectangular(rng, snr_db):
+    # tests/test_qpsk256.cpp:198-240 intent: SER tracks the theoretical-ish
+    # bound. For the 16x16 grid (min distance 2A/15, avg power ~0.756 A^2)
+    # the per-dimension error rate is ~Q(d/2 / sigma); bounds below are that
+    # estimate with ~1.5x margin.
+    c = qpsk256_constellation(RECTANGULAR, 1.0)
+    data = rng.integers(0, 256, size=1 << 14, dtype=np.uint8)
+    s = np.asarray(qpsk256_modulate(data, c))
+    noisy = awgn(rng, s, snr_db).astype(np.complex64)
+    rec = np.asarray(qpsk256_demodulate(noisy, c))
+    ser = np.mean(rec != data)
+    bound = {15.0: 0.95, 20.0: 0.60, 25.0: 0.16, 30.0: 0.003}[snr_db]
+    assert ser < bound
+
+
+def test_ser_monotonic_in_snr(rng):
+    c = qpsk256_constellation(RECTANGULAR, 1.0)
+    data = rng.integers(0, 256, size=1 << 14, dtype=np.uint8)
+    s = np.asarray(qpsk256_modulate(data, c))
+    sers = []
+    for snr_db in [10.0, 20.0, 30.0]:
+        noisy = awgn(rng, s, snr_db).astype(np.complex64)
+        sers.append(np.mean(np.asarray(qpsk256_demodulate(noisy, c)) != data))
+    assert sers[0] > sers[1] > sers[2]
+
+
+def test_power_characteristics(rng):
+    # tests/test_qpsk256.cpp:264-308: average power comparable between
+    # geometries; circular has lower peak-to-average ratio than rectangular.
+    cr = np.asarray(qpsk256_constellation(RECTANGULAR, 1.0))
+    cc = np.asarray(qpsk256_constellation(CIRCULAR, 1.0))
+    p_r, p_c = np.mean(np.abs(cr) ** 2), np.mean(np.abs(cc) ** 2)
+    assert 0.2 < p_c / p_r < 5.0
+    papr_r = np.max(np.abs(cr) ** 2) / p_r
+    papr_c = np.max(np.abs(cc) ** 2) / p_c
+    assert papr_c < papr_r
+
+
+def test_multi_stream_channel_axis(rng):
+    # The 4x variants (src/qpsk256.cu:104-151,198-259) as a leading axis.
+    c = qpsk256_constellation(RECTANGULAR, 1.0)
+    data = rng.integers(0, 256, size=(4, 512), dtype=np.uint8)
+    s = qpsk256_modulate(data, c)
+    rec = np.asarray(qpsk256_demodulate(s, c))
+    np.testing.assert_array_equal(rec, data)
+
+
+def test_tie_breaks_to_lowest_index():
+    # Strict < comparison keeps the first best (src/qpsk256.cu:177).
+    c = qpsk256_constellation(RECTANGULAR, 1.0)
+    cn = np.asarray(c)
+    mid = (cn[0] + cn[1]) / 2.0  # equidistant between symbols 0 and 1
+    rec = int(np.asarray(qpsk256_demodulate(np.array([mid]), c))[0])
+    assert rec == 0
