@@ -1,0 +1,67 @@
+"""Benchmark: flagship FM channelizer chain throughput on the real chip.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
+
+Config (BASELINE.md / BASELINE.json config 3): 16-channel FM broadcast
+chain -- mix bank -> 64-tap FIR with 4x decimation -> quadrature
+discriminator -> IIR de-emphasis -- on 2^20 complex input samples per step.
+
+Metric: complex input Msamples/s through the full chain (input-referred, so
+comparable across channel counts at fixed work-per-sample). Timing rolls the
+step loop into one jitted lax.scan and subtracts dispatch overhead
+(gsdr_tpu.utils.timing: the tunnel backend neither honors block_until_ready
+nor has cheap dispatch, so naive loops measure the wrong thing).
+
+vs_baseline: the reference publishes no absolute numbers (BASELINE.md), so
+the denominator is this repo's north-star target: 90% of the per-chip
+compute roofline for this chain. Roofline model (documented, conservative):
+the FIR bank dominates at C*T*8/D = 16*64*8/4 = 2048 f32 FLOP per input
+sample; assumed per-chip f32 MXU peak 49 TFLOP/s (v5e: 197 TFLOP/s bf16 / 4)
+gives ~24.0 Gsample/s; target = 0.9 * that. vs_baseline = value / target.
+"""
+
+import json
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from gsdr_tpu.carray import ComplexArray
+from gsdr_tpu.utils.timing import time_step
+from __graft_entry__ import _model
+
+N_SAMPLES = 1 << 20
+N_CHANNELS = 16
+N_TAPS = 64
+DECIMATION = 4
+ITERS = 10
+
+F32_PEAK_FLOPS = 49.2e12  # v5e MXU, f32 (bf16 peak 196.6 TFLOP/s / 4)
+FLOP_PER_SAMPLE = N_CHANNELS * N_TAPS * 8 / DECIMATION
+ROOFLINE_MSPS = F32_PEAK_FLOPS / FLOP_PER_SAMPLE / 1e6
+TARGET_MSPS = 0.9 * ROOFLINE_MSPS
+
+
+def main():
+    model = _model(num_channels=N_CHANNELS, num_taps=N_TAPS,
+                   decimation=DECIMATION)
+    rng = np.random.default_rng(0)
+    rf = ComplexArray(
+        jnp.asarray(rng.standard_normal(N_SAMPLES), jnp.float32),
+        jnp.asarray(rng.standard_normal(N_SAMPLES), jnp.float32),
+    )
+    state = model.init()
+    sec = time_step(model.step, state, rf, iters=ITERS)
+    msps = N_SAMPLES / sec / 1e6
+    print(json.dumps({
+        "metric": "fm_channelizer_16ch_64tap_dec4_input_msps",
+        "value": round(msps, 2),
+        "unit": "Msamples/s",
+        "vs_baseline": round(msps / TARGET_MSPS, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

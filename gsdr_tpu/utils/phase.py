@@ -71,6 +71,53 @@ def phase_fraction(n, freq_hz, sample_rate):
     return frac
 
 
+def phase_digit_table(freqs_hz, sample_rate):
+    """Host-side digit-fraction table for a bank of oscillators.
+
+    Returns a float32 numpy array of shape (len(freqs), _NUM_DIGITS) with
+    row c = [frac(f_c * 256^d / Fs) for d in 0..3]. Negative frequencies are
+    normalized via f mod Fs (an integer multiple of n/Fs never changes the
+    fraction), so the table is always non-negative. Feed to
+    ``phase_fraction_from_table`` with *traced* sample indices — this is how
+    jitted streaming code (whose global offset is carried state, not a static
+    Python int) and multi-channel channelizers compute exact LO phase.
+    """
+    import numpy as np
+
+    rows = []
+    for f in freqs_hz:
+        f, fs = float(f), float(sample_rate)
+        if f.is_integer() and fs.is_integer():
+            fi, fsi = int(f) % int(fs), int(fs)
+            rows.append([((fi * (_BASE ** d)) % fsi) / fsi for d in range(_NUM_DIGITS)])
+        else:
+            f = math.fmod(f, fs)
+            if f < 0:
+                f += fs
+            rows.append([math.fmod(f * (_BASE ** d), fs) / fs for d in range(_NUM_DIGITS)])
+    return np.asarray(rows, dtype=np.float32)
+
+
+def phase_fraction_from_table(n, table):
+    """frac(f * n / Fs) for traced int32 indices ``n`` and a digit table.
+
+    ``n``: int32 array, any shape, values in [0, 2^31). ``table``: (..., 4)
+    digit fractions from ``phase_digit_table`` — leading axes broadcast
+    against ``n`` (e.g. table (C, 1, 4) against n (1, N) gives (C, N)).
+    Every intermediate stays < 256 so float32 error is bounded at ~6e-5
+    cycles regardless of stream length (module docstring).
+    """
+    n = jnp.asarray(n, dtype=jnp.int32)
+    table = jnp.asarray(table, dtype=jnp.float32)
+    acc = jnp.zeros(jnp.broadcast_shapes(n.shape, table.shape[:-1]), jnp.float32)
+    for d in range(_NUM_DIGITS):
+        digit = jnp.bitwise_and(
+            jnp.right_shift(n, _BASE_BITS * d), _BASE - 1
+        ).astype(jnp.float32)
+        acc = acc + digit * table[..., d]
+    return acc - jnp.floor(acc)
+
+
 def phase_fraction_offset(first_sample_index, freq_hz, sample_rate):
     """Exact host-side frac(freq * n0 / Fs) for a static integer offset n0.
 

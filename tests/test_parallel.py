@@ -1,0 +1,190 @@
+"""Distributed layer on an 8-virtual-device CPU mesh.
+
+Correctness bar: a sharded step must produce the SAME outputs and carried
+state as the single-chip step — halo exchange, cross-shard IIR state
+propagation, and global-index phase must all compose exactly (within f32
+reassociation tolerance). This is the coverage the single-GPU reference
+never had (SURVEY.md section 4: "Distributed/multi-node testing: none").
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+from jax.sharding import PartitionSpec as P
+
+try:
+    from jax import shard_map as shard_map_fn
+except ImportError:
+    from jax.experimental.shard_map import shard_map as shard_map_fn
+
+from gsdr_tpu import fir, iir
+from gsdr_tpu.carray import ComplexArray
+from gsdr_tpu.parallel import (
+    left_halo,
+    make_mesh,
+    make_sharded_am_step,
+    make_sharded_fm_step,
+    right_halo,
+    sharded_fir,
+    sharded_iir,
+)
+from gsdr_tpu.pipelines import AmReceiver, FmChannelizer
+
+RNG = np.random.default_rng(7)
+
+
+def _lowpass(num_taps, cutoff_frac):
+    n = np.arange(num_taps) - (num_taps - 1) / 2.0
+    h = np.sinc(2 * cutoff_frac * n) * np.hamming(num_taps)
+    return tuple((h / h.sum()).astype(np.float32).tolist())
+
+
+def _planar(shape):
+    z = RNG.standard_normal(shape) + 1j * RNG.standard_normal(shape)
+    return ComplexArray.from_complex(z.astype(np.complex64))
+
+
+class TestHalo:
+    def _run(self, fn, x, spec_in, spec_out, mesh):
+        return shard_map_fn(fn, mesh=mesh, in_specs=spec_in,
+                            out_specs=spec_out, check_vma=False)(x)
+
+    def test_left_halo_moves_neighbor_tail(self):
+        mesh = make_mesh(channel=1, time=8)
+        x = jnp.arange(64, dtype=jnp.float32).reshape(1, 64)
+        out = self._run(
+            lambda v: left_halo(v, "time", 2),
+            x, (P("channel", "time"),), P("channel", "time"), mesh,
+        )
+        out = np.asarray(out).reshape(8, 10)
+        # shard 0: zeros prepended; shard s: last 2 of shard s-1
+        np.testing.assert_array_equal(out[0, :2], [0, 0])
+        np.testing.assert_array_equal(out[3, :2], [22, 23])
+        np.testing.assert_array_equal(out[3, 2:], np.arange(24, 32))
+
+    def test_right_halo_moves_neighbor_head(self):
+        mesh = make_mesh(channel=1, time=8)
+        x = jnp.arange(64, dtype=jnp.float32).reshape(1, 64)
+        out = self._run(
+            lambda v: right_halo(v, "time", 3),
+            x, (P("channel", "time"),), P("channel", "time"), mesh,
+        )
+        out = np.asarray(out).reshape(8, 11)
+        np.testing.assert_array_equal(out[2, 8:], [24, 25, 26])
+        np.testing.assert_array_equal(out[7, 8:], [0, 0, 0])
+
+
+class TestShardedFir:
+    @pytest.mark.parametrize("dec", [1, 4])
+    def test_matches_streaming_fir(self, dec):
+        mesh = make_mesh(channel=2, time=4)
+        taps = np.asarray(_lowpass(33, 0.1))
+        x = _planar((4, 4096))
+        got = sharded_fir(x, taps, mesh, decimation=dec)
+        # single-device streaming convention: prepend T-1 zeros
+        pad = ComplexArray(
+            jnp.concatenate([jnp.zeros((4, 32), jnp.float32), x.re], -1),
+            jnp.concatenate([jnp.zeros((4, 32), jnp.float32), x.im], -1),
+        )
+        want = fir(pad, jnp.asarray(taps), dec)
+        np.testing.assert_allclose(got.to_numpy(), want.to_numpy(),
+                                   rtol=1e-4, atol=1e-5)
+
+    def test_with_carried_tail(self):
+        mesh = make_mesh(channel=1, time=8)
+        taps = np.asarray(_lowpass(17, 0.2))
+        x = _planar((1, 1024))
+        tail = _planar((1, 16))
+        got = sharded_fir(x, taps, mesh, decimation=2, tail=tail)
+        buf = ComplexArray(
+            jnp.concatenate([tail.re, x.re], -1),
+            jnp.concatenate([tail.im, x.im], -1),
+        )
+        want = fir(buf, jnp.asarray(taps), 2)
+        np.testing.assert_allclose(got.to_numpy(), want.to_numpy(),
+                                   rtol=1e-4, atol=1e-5)
+
+
+class TestShardedIir:
+    @pytest.mark.parametrize("order", [1, 2, 4])
+    def test_matches_single_device(self, order):
+        mesh = make_mesh(channel=1, time=8)
+        # stable random filter: poles well inside unit circle
+        b = tuple(RNG.standard_normal(order + 1) * 0.3)
+        rts = RNG.uniform(-0.6, 0.6, order)
+        a_poly = np.poly(rts)
+        a = tuple(a_poly.tolist())
+        x = RNG.standard_normal((3, 2048)).astype(np.float32)
+        zi = RNG.standard_normal((3, order)).astype(np.float32) * 0.1
+
+        def body(x_l, zi_l):
+            y, zf = sharded_iir(b, a, x_l, zi_l, "time", 8)
+            return y, zf
+
+        y, zf = shard_map_fn(
+            body, mesh=mesh,
+            in_specs=(P(None, "time"), P(None, None)),
+            out_specs=(P(None, "time"), P(None, None)),
+            check_vma=False,
+        )(jnp.asarray(x), jnp.asarray(zi))
+
+        from gsdr_tpu.ops.iir import iir_block
+        want_y, want_zf = iir_block(
+            jnp.asarray(b, jnp.float32), jnp.asarray(a, jnp.float32),
+            jnp.asarray(x), zi=jnp.asarray(zi),
+        )
+        np.testing.assert_allclose(np.asarray(y), np.asarray(want_y),
+                                   rtol=2e-3, atol=2e-4)
+        np.testing.assert_allclose(np.asarray(zf), np.asarray(want_zf),
+                                   rtol=2e-3, atol=2e-4)
+
+
+class TestShardedChannelizer:
+    def _model(self, nch, dec=8, taps=65):
+        return FmChannelizer(
+            sample_rate=1_000_000.0, tuning_frequency=0.0,
+            channel_frequencies=tuple(
+                100_000.0 + 37_000.0 * i for i in range(nch)),
+            frequency_deviation=75_000.0, decimation=dec,
+            low_pass_taps=_lowpass(taps, 0.04),
+        )
+
+    @pytest.mark.parametrize("mesh_shape", [(2, 4), (4, 2), (1, 8), (8, 1)])
+    def test_fm_step_matches_single_chip(self, mesh_shape):
+        c_sh, t_sh = mesh_shape
+        model = self._model(nch=8)  # divisible by every channel-shard count
+        mesh = make_mesh(channel=c_sh, time=t_sh)
+        step = make_sharded_fm_step(model, mesh)
+        rf = _planar((8192,))
+        st_single = model.init()
+        st_shard = model.init()
+        for _ in range(2):  # two steps: exercises carried state paths
+            st_single, y_single = model.step(st_single, rf)
+            st_shard, y_shard = step(st_shard, rf)
+        np.testing.assert_allclose(
+            np.asarray(y_shard), np.asarray(y_single), rtol=2e-3, atol=2e-4)
+        # carried state must agree too (continuation-equivalence)
+        np.testing.assert_allclose(
+            st_shard[1].to_numpy(), st_single[1].to_numpy(), atol=2e-4)
+        np.testing.assert_allclose(
+            np.asarray(st_shard[3]), np.asarray(st_single[3]),
+            rtol=2e-3, atol=2e-4)
+        assert int(st_shard[0]) == int(st_single[0])
+
+    def test_am_step_matches_single_chip(self):
+        model = AmReceiver(
+            sample_rate=1_000_000.0, tuning_frequency=0.0,
+            channel_frequencies=(50_000.0, -120_000.0),
+            decimation=4, low_pass_taps=_lowpass(33, 0.05),
+        )
+        mesh = make_mesh(channel=2, time=4)
+        step = make_sharded_am_step(model, mesh)
+        rf = _planar((4096,))
+        st_single = model.init()
+        st_shard = model.init()
+        for _ in range(2):
+            st_single, y_single = model.step(st_single, rf)
+            st_shard, y_shard = step(st_shard, rf)
+        np.testing.assert_allclose(
+            np.asarray(y_shard), np.asarray(y_single), rtol=1e-3, atol=2e-4)
