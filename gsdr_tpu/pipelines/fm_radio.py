@@ -5,29 +5,30 @@ channels out. This is the chain the reference fuses in gsdrFmDemod
 (/root/reference/src/fm.cu:181-218) — mix -> FIR low-pass + decimate ->
 quadrature discriminator — extended the way its dead 4-channel kernel
 k_Fm4x intended (src/fm.cu:71-179, never launched): instead of 4 hand-written
-LO/accumulator copies, the channel bank is a leading array axis. Added on
-top: IIR de-emphasis per channel (the reference ships IIR but never wires it
-into the chain) and an explicit streaming-state pytree (replacing the
-caller-managed overlap/phase contracts, include/gsdr/fm.h:26).
-
-Everything is static-shaped and jit/scan/shard_map friendly. The per-block
-compute is dominated by the (C,) x (taps) FIR bank, which XLA maps onto the
-MXU via conv_general_dilated; the Pallas fused kernel (gsdr_tpu.kernels)
-accelerates the same step fn when enabled.
+LO/accumulator copies, the channel bank is a complex-tap conv
+(gsdr_tpu.ops.channelize) that computes ALL channels' mix+FIR+decimate as a
+single MXU matmul-shaped convolution over the raw RF block, with the LO
+reduced to one phasor per decimated output. Added on top: IIR de-emphasis
+per channel (the reference ships IIR but never wires it into the chain) and
+an explicit streaming-state pytree (replacing the caller-managed
+overlap/phase contracts, include/gsdr/fm.h:26).
 """
 
 import math
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Tuple
 
 import jax.numpy as jnp
-import numpy as np
 
-from gsdr_tpu.carray import ComplexArray, expj, is_planar
-from gsdr_tpu.ops.fir import fir
+from gsdr_tpu.carray import ComplexArray, is_planar
+from gsdr_tpu.ops.channelize import (
+    make_complex_tap_bank,
+    mix_fir_decimate_bank,
+    rotate_bank,
+)
 from gsdr_tpu.ops.iir import iir_block
 from gsdr_tpu.ops.quad_demod import quad_fm_demod
-from gsdr_tpu.utils.phase import phase_digit_table, phase_fraction_from_table
+from gsdr_tpu.utils.phase import phase_digit_table
 
 _TWO_PI = 6.283185307179586
 
@@ -37,7 +38,6 @@ def fm_deemphasis_coeffs(tau_seconds, sample_rate):
     H(s)=1/(1+s*tau). tau = 75e-6 (US) / 50e-6 (EU); sample_rate is the
     post-decimation audio rate."""
     k = math.tan(1.0 / (2.0 * float(tau_seconds) * float(sample_rate)))
-    # Bilinear transform of the RC low-pass pole.
     b0 = k / (1.0 + k)
     a1 = (k - 1.0) / (k + 1.0)
     return (b0, b0), (1.0, a1)
@@ -45,13 +45,13 @@ def fm_deemphasis_coeffs(tau_seconds, sample_rate):
 
 @dataclass(frozen=True)
 class FmChannelizer:
-    """C-channel FM receiver: mix bank -> FIR decimate -> discriminator ->
-    de-emphasis.
+    """C-channel FM receiver: complex-tap-bank channelize -> discriminator
+    -> de-emphasis.
 
     Config is static (hashable); state is a pytree:
-      (n0_mod_fs: int32 scalar,
-       fir_tail: ComplexArray (C, T-1),
-       disc_carry: ComplexArray (C, 1),
+      (n0_mod_fs: int32 scalar — global offset of the next block,
+       rf_tail: ComplexArray (T-1,) — raw RF overlap-save history,
+       disc_carry: ComplexArray (C, 1) — last filtered sample,
        deemph_zi: float32 (C, 1))
 
     ``step(state, rf_block)`` takes a planar (N,) RF block (N % decimation
@@ -84,14 +84,20 @@ class FmChannelizer:
     def audio_rate(self):
         return float(self.sample_rate) / self.decimation
 
-    def _lo_table(self):
-        """(C, 4) digit-fraction table for shift = tuning - channel
-        (src/fm.cu:204: each channel mixes down by its offset from center)."""
-        shifts = [
+    def _shifts(self):
+        """shift = tuning - channel (src/fm.cu:204): each channel mixes down
+        by its offset from center."""
+        return [
             float(self.tuning_frequency) - float(f)
             for f in self.channel_frequencies
         ]
-        return phase_digit_table(shifts, self.sample_rate)
+
+    def _lo_table(self):
+        return phase_digit_table(self._shifts(), self.sample_rate)
+
+    def _tap_bank(self):
+        return make_complex_tap_bank(
+            self.low_pass_taps, self._shifts(), self.sample_rate)
 
     def _deemph(self):
         return fm_deemphasis_coeffs(self.deemphasis_tau, self.audio_rate)
@@ -102,7 +108,7 @@ class FmChannelizer:
         fs = int(round(self.sample_rate))
         return (
             jnp.asarray(int(first_sample_index) % fs, jnp.int32),
-            ComplexArray.zeros((c, t - 1)),
+            ComplexArray.zeros((t - 1,)),
             ComplexArray.zeros((c, 1)),
             jnp.zeros((c, 1), jnp.float32),
         )
@@ -111,31 +117,25 @@ class FmChannelizer:
     def step(self, state, rf):
         if not is_planar(rf):
             rf = ComplexArray.from_complex(jnp.asarray(rf))
-        n0, fir_tail, disc_carry, deemph_zi = state
+        n0, rf_tail, disc_carry, deemph_zi = state
         n = rf.shape[-1]
+        t = self.num_taps
+        fs = int(round(self.sample_rate))
         if n % self.decimation != 0:
             raise ValueError("block length must be a multiple of decimation")
 
-        # 1) LO bank + mix: (C, N) planar. Phase is exact from the global
-        # sample index (utils/phase.py), no carried float phase.
-        idx = n0 + jnp.arange(n, dtype=jnp.int32)
-        table = jnp.asarray(self._lo_table())
-        frac = phase_fraction_from_table(idx[None, :], table[:, None, :])
-        lo = expj(_TWO_PI * frac)
-        mixed = ComplexArray(
-            rf.re[None, :] * lo.re - rf.im[None, :] * lo.im,
-            rf.re[None, :] * lo.im + rf.im[None, :] * lo.re,
-        )
-
-        # 2) FIR low-pass + decimate with carried (C, T-1) tail
-        # (overlap-save; stream.FirStream contract).
+        # 1+2) fused mix bank + FIR + decimate over the tail-prepended block:
+        # one conv with complex taps, then one phasor per decimated output.
+        # Window j starts at global index n0 - (T-1) + j*D.
         buf = ComplexArray(
-            jnp.concatenate([fir_tail.re, mixed.re], axis=-1),
-            jnp.concatenate([fir_tail.im, mixed.im], axis=-1),
+            jnp.concatenate([rf_tail.re, rf.re], axis=-1),
+            jnp.concatenate([rf_tail.im, rf.im], axis=-1),
         )
-        taps = jnp.asarray(self.low_pass_taps, jnp.float32)
-        filt = fir(buf, taps, self.decimation)  # (C, N/D)
-        new_tail = buf[..., buf.shape[-1] - (self.num_taps - 1):]
+        y = mix_fir_decimate_bank(buf, self._tap_bank(), self.decimation)
+        rot0 = (n0 + jnp.int32(fs - (t - 1) % fs)) % fs
+        filt = rotate_bank(y, jnp.asarray(self._lo_table()), rot0,
+                           self.decimation)  # (C, N/D)
+        new_tail = buf[..., buf.shape[-1] - (t - 1):]
 
         # 3) discriminator with one-sample carried halo (the warp-shuffle
         # +1-sample contract, src/fm.cu:58-64, as functional state).
@@ -153,6 +153,5 @@ class FmChannelizer:
             demod, zi=deemph_zi, block_len=256,
         )
 
-        fs = int(round(self.sample_rate))
         n0_new = (n0 + jnp.int32(n % fs)) % fs
         return (n0_new, new_tail, new_carry, new_zi), audio
