@@ -26,6 +26,7 @@ This replaces the reference's per-thread tap-loop-with-sincos hot loop
 
 import numpy as np
 
+import jax
 import jax.numpy as jnp
 from jax import lax
 
@@ -59,16 +60,31 @@ def make_complex_tap_bank(taps, shifts_hz, sample_rate):
         kernel[2 * c, 1] = -g.imag
         kernel[2 * c + 1, 0] = g.imag
         kernel[2 * c + 1, 1] = g.real
-    return jnp.asarray(kernel, jnp.float32)
+    # numpy (not jnp) on purpose: the bank is a host-side constant, and the
+    # Pallas path re-slices it host-side (bf16 hi/lo split) even when called
+    # under an active jit trace.
+    return kernel.astype(np.float32)
 
 
-def mix_fir_decimate_bank(x, kernel, decimation):
+def mix_fir_decimate_bank(x, kernel, decimation, impl="auto"):
     """Apply a complex tap bank to planar x (..., N) -> planar (..., C, M).
 
     ``kernel`` is from make_complex_tap_bank; M = (N - T)//D + 1. The
     un-rotated output: caller applies rotate_bank for true mixed semantics
     (the rotation commutes past the filter exactly).
+
+    impl: 'auto'/'xla' use the f32 conv (XLA fuses it with the surrounding
+    chain, which currently beats the standalone Pallas kernel end-to-end);
+    'pallas' forces the Pallas kernel (kernels/channelize_pallas.py) — it
+    avoids XLA's HBM im2col and runs the contraction as 3-pass bf16x3
+    (~1e-4 relative error; ~1.3x faster than the conv in isolation, kept
+    opt-in until it wins inside the full fused chain).
     """
+    if impl == "pallas":
+        from gsdr_tpu.kernels.channelize_pallas import (
+            mix_fir_decimate_bank_pallas,
+        )
+        return mix_fir_decimate_bank_pallas(x, kernel, decimation)
     lead = x.shape[:-1]
     n = x.shape[-1]
     lhs = jnp.stack([x.re, x.im], axis=-2).reshape((-1, 2, n))  # (B, 2, N)

@@ -38,3 +38,10 @@ __all__ = [
     "make_sharded_fm_step",
     "make_sharded_am_step",
 ]
+
+from gsdr_tpu.parallel.modem import (  # noqa: E402
+    make_sharded_qpsk_modem,
+    make_sharded_qpsk256_modem,
+)
+
+__all__ += ["make_sharded_qpsk_modem", "make_sharded_qpsk256_modem"]

@@ -188,3 +188,27 @@ class TestShardedChannelizer:
             st_shard, y_shard = step(st_shard, rf)
         np.testing.assert_allclose(
             np.asarray(y_shard), np.asarray(y_single), rtol=1e-3, atol=2e-4)
+
+
+class TestShardedModems:
+    def test_qpsk256_sharded_loopback(self):
+        from gsdr_tpu.parallel.modem import make_sharded_qpsk256_modem
+        from gsdr_tpu.pipelines import Qpsk256Modem
+
+        mesh = make_mesh(channel=4, time=2)
+        modem = Qpsk256Modem(amplitude=1.0)
+        tx, rx = make_sharded_qpsk256_modem(modem, mesh)
+        syms = RNG.integers(0, 256, size=(8, 512)).astype(np.int32)
+        out = np.asarray(jax.jit(lambda s: rx(tx(s)))(jnp.asarray(syms)))
+        np.testing.assert_array_equal(out, syms)
+
+    def test_qpsk_sharded_loopback(self):
+        from gsdr_tpu.parallel.modem import make_sharded_qpsk_modem
+        from gsdr_tpu.pipelines import QpskModem
+
+        mesh = make_mesh(channel=2, time=4)
+        modem = QpskModem(amplitude=2.0)
+        tx, rx = make_sharded_qpsk_modem(modem, mesh)
+        syms = RNG.integers(0, 4, size=(4, 1024)).astype(np.int32)
+        out = np.asarray(jax.jit(lambda s: rx(tx(s)))(jnp.asarray(syms)))
+        np.testing.assert_array_equal(out, syms)
