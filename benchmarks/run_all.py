@@ -1,0 +1,140 @@
+"""Benchmark suite over the five BASELINE.json configurations.
+
+    python -m benchmarks.run_all [--quick]
+
+Runs on whatever backend jax selects (the attached TPU chip in
+deployment; CPU works for smoke runs with --quick). One JSON line per
+config; the flagship line matches bench.py's metric. Timing methodology:
+gsdr_tpu.utils.timing (scan-in-jit; the tunnel backend has no working
+block_until_ready and tens-of-ms dispatch costs).
+"""
+
+import argparse
+import json
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from gsdr_tpu.carray import ComplexArray
+from gsdr_tpu.ops.fir import fir
+from gsdr_tpu.ops.mixer import freq_shift
+from gsdr_tpu.pipelines import AmReceiver, FmChannelizer, QpskModem, \
+    Qpsk256Modem
+from gsdr_tpu.utils.timing import time_step
+
+
+def _lowpass(num_taps, cutoff_frac):
+    n = np.arange(num_taps) - (num_taps - 1) / 2.0
+    h = np.sinc(2 * cutoff_frac * n) * np.hamming(num_taps)
+    return tuple((h / h.sum()).astype(np.float32).tolist())
+
+
+def _noise(n, seed=0):
+    r = np.random.default_rng(seed)
+    return ComplexArray(
+        jnp.asarray(r.standard_normal(n), jnp.float32),
+        jnp.asarray(r.standard_normal(n), jnp.float32),
+    )
+
+
+def bench_am(n, iters):
+    """Config 1: AM demod, 64K+ samples."""
+    model = AmReceiver(
+        sample_rate=1e6, tuning_frequency=0.0,
+        channel_frequencies=(100_000.0,), decimation=4,
+        low_pass_taps=_lowpass(64, 0.05))
+    rf = _noise(n)
+    sec = time_step(model.step, model.init(), rf, iters=iters)
+    return {"metric": "am_demod_1ch_input_msps",
+            "value": round(n / sec / 1e6, 2), "unit": "Msamples/s"}
+
+
+def bench_shift_fir(n, iters):
+    """Config 2: freq shift + 64-tap FIR, 4x decimation."""
+    taps = jnp.asarray(_lowpass(64, 0.1))
+
+    def step(state, x):
+        mixed = freq_shift(x, 12_345.0, 1e6)
+        y = fir(mixed, taps, 4)
+        return state, y
+
+    rf = _noise(n)
+    sec = time_step(step, jnp.zeros(()), rf, iters=iters)
+    return {"metric": "shift_fir64_dec4_input_msps",
+            "value": round(n / sec / 1e6, 2), "unit": "Msamples/s"}
+
+
+def bench_fm(n, iters, impl="xla"):
+    """Config 3 (flagship): 16-channel FM chain incl. de-emphasis."""
+    model = FmChannelizer(
+        sample_rate=1e6, tuning_frequency=0.0,
+        channel_frequencies=tuple(-480_000.0 + 60_000.0 * i
+                                  for i in range(16)),
+        frequency_deviation=75_000.0, decimation=4,
+        low_pass_taps=_lowpass(64, 0.03), impl=impl)
+    rf = _noise(n)
+    sec = time_step(model.step, model.init(), rf, iters=iters)
+    return {"metric": f"fm_channelizer_16ch_{impl}_input_msps",
+            "value": round(n / sec / 1e6, 2), "unit": "Msamples/s"}
+
+
+def bench_qpsk(n, iters):
+    """Config 4: QPSK mod/demod loopback."""
+    modem = QpskModem()
+    data = jnp.asarray(
+        np.random.default_rng(0).integers(0, 4, n), jnp.int32)
+
+    def step(state, d):
+        from gsdr_tpu.ops.qpsk import qpsk_demodulate_symbols
+        re_t = jnp.array([1.0, -1.0, 1.0, -1.0], jnp.float32)
+        im_t = jnp.array([1.0, 1.0, -1.0, -1.0], jnp.float32)
+        s = ComplexArray(re_t[d], im_t[d])
+        s = ComplexArray(s.re + state * 1e-30, s.im)
+        return state, qpsk_demodulate_symbols(s)
+
+    sec = time_step(step, jnp.zeros(()), data, iters=iters)
+    return {"metric": "qpsk_loopback_msym_s",
+            "value": round(n / sec / 1e6, 2), "unit": "Msymbols/s"}
+
+
+def bench_qpsk256(n, iters):
+    """Config 5 shape (single-chip portion): 256-ary NN demod via MXU."""
+    modem = Qpsk256Modem()
+    syms = jnp.asarray(
+        np.random.default_rng(0).integers(0, 256, n), jnp.int32)
+
+    def step(state, s):
+        tx = modem.tx(s)
+        tx = ComplexArray(tx.re + state * 1e-30, tx.im)
+        return state, modem.rx(tx)
+
+    sec = time_step(step, jnp.zeros(()), syms, iters=iters)
+    return {"metric": "qpsk256_loopback_msym_s",
+            "value": round(n / sec / 1e6, 2), "unit": "Msymbols/s"}
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--quick", action="store_true",
+                   help="small sizes / few iters (CPU smoke)")
+    args = p.parse_args(argv)
+    n = 1 << 16 if args.quick else 1 << 20
+    iters = 3 if args.quick else 10
+
+    results = [
+        bench_am(n, iters),
+        bench_shift_fir(n, iters),
+        bench_fm(n, iters, impl="xla"),
+        bench_fm(n, iters, impl="pallas"),
+        bench_qpsk(n, iters),
+        bench_qpsk256(min(n, 1 << 19), iters),
+    ]
+    for r in results:
+        r["backend"] = jax.default_backend()
+        print(json.dumps(r), flush=True)
+
+
+if __name__ == "__main__":
+    main()

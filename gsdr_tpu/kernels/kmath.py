@@ -1,0 +1,51 @@
+"""Math helpers for Pallas TPU kernels.
+
+Mosaic lacks lowerings for some libm-style primitives (atan2 at the time
+of writing); these are VPU-friendly polynomial replacements. Accuracy
+figures are for float32 inputs.
+"""
+
+import jax.numpy as jnp
+
+_PI = 3.141592653589793
+_PI_2 = 1.5707963267948966
+
+# Minimax odd polynomial for atan(r), r in [0, 1] — max error ~6e-7 rad.
+# (11th-order; the classic single-precision fit.)
+_C1 = 0.99997726
+_C3 = -0.33262347
+_C5 = 0.19354346
+_C7 = -0.11643287
+_C9 = 0.05265332
+_C11 = -0.01172120
+
+
+def atan_poly01(r):
+    """atan(r) for r in [0, 1]."""
+    r2 = r * r
+    p = _C11
+    p = p * r2 + _C9
+    p = p * r2 + _C7
+    p = p * r2 + _C5
+    p = p * r2 + _C3
+    p = p * r2 + _C1
+    return r * p
+
+
+def atan2_poly(y, x):
+    """Four-quadrant atan2 via range reduction + the [0,1] polynomial.
+
+    Max error ~1e-6 rad; atan2(0, 0) = 0 (matching the discriminator's
+    zero-carry warmup convention). Usable inside Pallas TPU kernels where
+    jnp.arctan2 has no Mosaic lowering.
+    """
+    abs_y = jnp.abs(y)
+    abs_x = jnp.abs(x)
+    mx = jnp.maximum(abs_x, abs_y)
+    mn = jnp.minimum(abs_x, abs_y)
+    r = mn / jnp.maximum(mx, 1e-37)
+    r = jnp.where(mx == 0.0, 0.0, r)
+    a = atan_poly01(r)
+    a = jnp.where(abs_y > abs_x, _PI_2 - a, a)
+    a = jnp.where(x < 0.0, _PI - a, a)
+    return jnp.where(y < 0.0, -a, a)

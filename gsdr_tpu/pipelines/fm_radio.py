@@ -65,6 +65,7 @@ class FmChannelizer:
     decimation: int
     low_pass_taps: Tuple[float, ...]
     deemphasis_tau: float = 75e-6
+    impl: str = "xla"  # 'xla' | 'pallas' (fused single-kernel chain)
 
     # -- derived (host-side) -------------------------------------------------
     @property
@@ -131,6 +132,22 @@ class FmChannelizer:
             jnp.concatenate([rf_tail.re, rf.re], axis=-1),
             jnp.concatenate([rf_tail.im, rf.im], axis=-1),
         )
+
+        if self.impl == "pallas":
+            # single fused Pallas kernel: conv + rotor + discriminator +
+            # de-emphasis, one HBM read and one write; state-compatible
+            # with the unfused path below (kernels/fm_chain_pallas.py).
+            from gsdr_tpu.kernels.fm_chain_pallas import fm_chain_pallas
+
+            rot0 = (n0 + jnp.int32(fs - (t - 1) % fs)) % fs
+            b_, a_ = self._deemph()
+            audio, new_carry, new_zi = fm_chain_pallas(
+                buf, self._tap_bank(), self._lo_table(), rot0,
+                self.decimation, self.gain, b_, a_,
+                disc_carry, deemph_zi)
+            new_tail = buf[..., buf.shape[-1] - (t - 1):]
+            n0_new = (n0 + jnp.int32(n % fs)) % fs
+            return (n0_new, new_tail, new_carry, new_zi), audio
         y = mix_fir_decimate_bank(buf, self._tap_bank(), self.decimation)
         rot0 = (n0 + jnp.int32(fs - (t - 1) % fs)) % fs
         filt = rotate_bank(y, jnp.asarray(self._lo_table()), rot0,
