@@ -44,6 +44,8 @@ from gsdr_tpu.ops.qpsk import (
     pack_2bit_symbols,
     unpack_2bit_symbols,
 )
+from gsdr_tpu.ops.channelize import channelize, make_complex_tap_bank
+from gsdr_tpu.ops.pfb import pfb_channelize
 from gsdr_tpu.ops.qpsk256 import (
     qpsk256_constellation,
     qpsk256_demodulate,
@@ -66,6 +68,9 @@ __all__ = [
     "cosine_f",
     "fir",
     "fir_output_length",
+    "channelize",
+    "make_complex_tap_bank",
+    "pfb_channelize",
     "freq_shift",
     "lo_signal",
     "quad_am_demod",

@@ -1,0 +1,97 @@
+"""Polyphase filter-bank (PFB) channelizer for uniform channel grids.
+
+The complex-tap-bank channelizer (ops/channelize.py) handles arbitrary
+channel frequencies at O(C * T / D) MACs per input sample. When the C = K
+channels sit on the uniform grid f_c = c * Fs / K with critical decimation
+D = K — the standard wideband-receiver configuration — the classic PFB
+factorization does the same job in O(T / K) MACs plus one K-point DFT per
+output frame:
+
+    filt[c, j] = sum_t x[jK + t] h[t] e^{-2i pi c (jK + t) / K}
+               = DFT_K( u[j, :] )[c],
+    u[j, r]    = sum_q x[jK + qK + r] h[qK + r]        (T = Q*K taps)
+
+(the rotor e^{-2i pi c jK / K} = 1 at critical decimation — uniform grids
+need no LO at all). The fold u is K parallel stride-1 FIRs of length Q
+(grouped conv, MXU/VPU friendly); the DFT is a dense (K x K) matmul — we
+deliberately use the matmul form, not jnp.fft: for K <= 256 it IS the
+fastest TPU form and it avoids backend FFT support questions.
+
+The reference library has no channelizer at all (its dead k_Fm4x kernel,
+/root/reference/src/fm.cu:71-179, hand-unrolls 4 channels); this op is a
+capability the TPU build adds beyond parity.
+"""
+
+import numpy as np
+
+import jax.numpy as jnp
+from jax import lax
+
+from gsdr_tpu.carray import ComplexArray, is_planar
+
+
+def pfb_taps_to_polyphase(taps, num_channels):
+    """(T,) prototype low-pass -> (K, Q) polyphase matrix, zero-padding T
+    up to a multiple of K. Row r holds h[r], h[K+r], h[2K+r], ..."""
+    taps = np.asarray(taps, np.float64)
+    k = int(num_channels)
+    q = -(-len(taps) // k)
+    padded = np.zeros(k * q)
+    padded[:len(taps)] = taps
+    return padded.reshape(q, k).T.astype(np.float32)  # (K, Q)
+
+
+def _dft_matrices(k):
+    """Real/imag parts of the K-point DFT matrix W[c, r] = e^{-2i pi cr/K},
+    float64-accurate."""
+    c = np.arange(k)[:, None]
+    r = np.arange(k)[None, :]
+    ang = -2.0 * np.pi * c * r / k
+    return (np.cos(ang).astype(np.float32), np.sin(ang).astype(np.float32))
+
+
+def pfb_channelize(x, taps, num_channels):
+    """Critically-sampled PFB: planar (..., N) -> planar (..., K, N//K - Q + 1).
+
+    Channel c carries the band centered at c * Fs / K (c wraps: channels
+    above K/2 are negative frequencies), filtered by the prototype
+    ``taps`` and decimated by K. Matches
+    channelize(x, taps, shifts=[-c*Fs/K ...], decimation=K) output windows
+    aligned at j*K (same "window starts at j*D" convention as ops/fir.py).
+    """
+    k = int(num_channels)
+    if not is_planar(x):
+        x = ComplexArray.from_complex(jnp.asarray(x))
+    poly = jnp.asarray(pfb_taps_to_polyphase(taps, k))  # (K, Q)
+    q = poly.shape[1]
+    n = x.shape[-1]
+    m = n // k - q + 1  # output frames
+    if m <= 0:
+        raise ValueError(f"need at least {k * q} samples, got {n}")
+    lead = x.shape[:-1]
+
+    def fold(plane):
+        # (..., N) -> phases (B*K batch of length n//k) -> grouped conv
+        ph = plane[..., :(n // k) * k].reshape((-1, n // k, k))
+        ph = jnp.transpose(ph, (0, 2, 1))           # (B, K, n//k)
+        out = lax.conv_general_dilated(
+            ph, poly[:, None, :],                   # (K out, 1 in, Q)
+            window_strides=(1,), padding="VALID",
+            dimension_numbers=("NCH", "OIH", "NCH"),
+            feature_group_count=k,
+            preferred_element_type=jnp.float32,
+        )                                           # (B, K, m)
+        return out
+
+    u_re = fold(x.re)   # (B, K, m): u[j, r] per batch, r in channel dim
+    u_im = fold(x.im)
+
+    wr, wi = _dft_matrices(k)
+    wrj, wij = jnp.asarray(wr), jnp.asarray(wi)
+    # filt[c, j] = sum_r W[c, r] * u[j, r]; complex W x complex u.
+    f_re = jnp.einsum("cr,brm->bcm", wrj, u_re) \
+        - jnp.einsum("cr,brm->bcm", wij, u_im)
+    f_im = jnp.einsum("cr,brm->bcm", wij, u_re) \
+        + jnp.einsum("cr,brm->bcm", wrj, u_im)
+    out_shape = lead + (k, m)
+    return ComplexArray(f_re.reshape(out_shape), f_im.reshape(out_shape))
