@@ -45,8 +45,11 @@ TARGET_MSPS = 0.9 * ROOFLINE_MSPS
 
 
 def main():
-    model = _model(num_channels=N_CHANNELS, num_taps=N_TAPS,
-                   decimation=DECIMATION)
+    import dataclasses
+    model = dataclasses.replace(
+        _model(num_channels=N_CHANNELS, num_taps=N_TAPS,
+               decimation=DECIMATION),
+        impl="pallas")  # fused single-kernel chain (kernels/fm_chain_pallas)
     rng = np.random.default_rng(0)
     rf = ComplexArray(
         jnp.asarray(rng.standard_normal(N_SAMPLES), jnp.float32),

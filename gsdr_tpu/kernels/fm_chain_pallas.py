@@ -66,8 +66,8 @@ def _g_matrix_planes(kernel_np, decimation):
     return g
 
 
-def _fm_chain_kernel(n0_ref, xp_ref, halo_ref, gh_ref, gl_ref, table_ref,
-                     spow_ref, jpow_ref, fcar0_ref, zcar0_ref,
+def _fm_chain_kernel(xp_ref, halo_ref, gh_ref, gl_ref, base_ref, bt_ref,
+                     pj_ref, spow_ref, jpow_ref, fcar0_ref, zcar0_ref,
                      audio_ref, fcar_ref, zcar_ref,
                      w_ref, carry_ref, *,
                      p_cnt, rows, c_cnt, dec, gain, b0, cc, log_bm, f32_dot):
@@ -100,19 +100,16 @@ def _fm_chain_kernel(n0_ref, xp_ref, halo_ref, gh_ref, gl_ref, table_ref,
     y_re = y[:c_cnt, :]
     y_im = y[c_cnt:, :]
 
-    # ---- 2) LO rotor from exact digit-table phase ------------------------
-    j_local = jax.lax.broadcasted_iota(jnp.int32, (1, bm), 1)
-    idx = n0_ref[0] + (i * bm + j_local) * dec
-    frac = jnp.zeros((c_cnt, bm), jnp.float32)
-    for dgt in range(_NUM_DIGITS):
-        digit = jnp.bitwise_and(
-            jax.lax.shift_right_logical(idx, _BASE_BITS * dgt), 255
-        ).astype(jnp.float32)
-        frac = frac + digit * table_ref[:, dgt:dgt + 1]
-    frac = frac - jnp.floor(frac)
-    theta = _TWO_PI * frac
-    lo_re = jnp.cos(theta)
-    lo_im = jnp.sin(theta)
+    # ---- 2) LO rotor as a phasor product (no transcendentals) ------------
+    # lo(c, i*bm+j) = base(c) * blocktab(c, i) * pj(c, j): base carries the
+    # traced stream offset (computed outside the kernel), blocktab/pj are
+    # host-precomputed float64-accurate unit phasors.
+    bt_re = bt_ref[:, 0:1]   # block i's phasor pair (BlockSpec-selected)
+    bt_im = bt_ref[:, 1:2]
+    b_re = base_ref[:, 0:1] * bt_re - base_ref[:, 1:2] * bt_im   # (C, 1)
+    b_im = base_ref[:, 0:1] * bt_im + base_ref[:, 1:2] * bt_re
+    lo_re = b_re * pj_ref[:c_cnt, :] - b_im * pj_ref[c_cnt:, :]
+    lo_im = b_re * pj_ref[c_cnt:, :] + b_im * pj_ref[:c_cnt, :]
     f_re = y_re * lo_re - y_im * lo_im
     f_im = y_re * lo_im + y_im * lo_re
 
@@ -158,7 +155,7 @@ def _fm_chain_kernel(n0_ref, xp_ref, halo_ref, gh_ref, gl_ref, table_ref,
     jax.jit,
     static_argnames=("dec", "block_m", "p_cnt", "rows", "c_cnt", "gain",
                      "b0", "cc", "a1", "f32_dot", "interpret"))
-def _run_chain(n0, xp, gh, gl, table, fcar0, zcar0, *,
+def _run_chain(base, xp, gh, gl, bt, pj, fcar0, zcar0, *,
                dec, block_m, p_cnt, rows, c_cnt, gain, b0, cc, a1,
                f32_dot, interpret):
     _, mp = xp.shape
@@ -178,20 +175,22 @@ def _run_chain(n0, xp, gh, gl, table, fcar0, zcar0, *,
         _fm_chain_kernel, p_cnt=p_cnt, rows=rows, c_cnt=c_cnt, dec=dec,
         gain=gain, b0=b0, cc=cc, log_bm=log_bm, f32_dot=f32_dot)
 
+    n_blk = m_out // bm
     vm = pltpu.VMEM
     return pl.pallas_call(
         kernel,
-        grid=(m_out // bm,),
+        grid=(n_blk,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # n0 (1,)
             pl.BlockSpec((rows, bm), lambda i: (0, i), memory_space=vm),
             pl.BlockSpec((rows, _LANE),
                          lambda i: (0, (i * bm) // _LANE + bm // _LANE),
                          memory_space=vm),
             pl.BlockSpec((2 * c_cnt, k2t), lambda i: (0, 0), memory_space=vm),
             pl.BlockSpec((2 * c_cnt, k2t), lambda i: (0, 0), memory_space=vm),
-            pl.BlockSpec((c_cnt, _NUM_DIGITS), lambda i: (0, 0),
+            pl.BlockSpec((c_cnt, 2), lambda i: (0, 0), memory_space=vm),
+            pl.BlockSpec((c_cnt, _LANE), lambda i: (0, i),
                          memory_space=vm),
+            pl.BlockSpec((2 * c_cnt, bm), lambda i: (0, 0), memory_space=vm),
             pl.BlockSpec((1, _MAX_LOG_BM), lambda i: (0, 0), memory_space=vm),
             pl.BlockSpec((1, bm), lambda i: (0, 0), memory_space=vm),
             pl.BlockSpec((c_cnt, 2), lambda i: (0, 0), memory_space=vm),
@@ -212,7 +211,7 @@ def _run_chain(n0, xp, gh, gl, table, fcar0, zcar0, *,
             pltpu.VMEM((c_cnt, 8), jnp.float32),
         ],
         interpret=interpret,
-    )(n0, xp, xp, gh, gl, table, jnp.asarray(spow), jnp.asarray(jpow),
+    )(xp, xp, gh, gl, base, bt, pj, jnp.asarray(spow), jnp.asarray(jpow),
       fcar0, zcar0)
 
 
@@ -229,9 +228,42 @@ def _pick_bm(m, block_m):
     return bm
 
 
+def _phasor_tables(shifts_hz, sample_rate, dec, bm, n_blk):
+    """Host-exact unit-phasor tables: pj (2C, bm) stacked [re; im] with
+    pj[c, j] = e^{2i pi frac(f_c * D * j / Fs)}, and bt (C, 2*n_blk) with
+    interleaved re/im of e^{2i pi frac(f_c * D * bm * i / Fs)}."""
+    c_cnt = len(shifts_hz)
+    pj = np.zeros((2 * c_cnt, bm), np.float32)
+    # per-block phasor pair lives in its own 128-lane stripe (Mosaic block
+    # shapes must be lane-128 aligned); lanes 0/1 hold re/im.
+    bt = np.zeros((c_cnt, _LANE * n_blk), np.float32)
+    fs = float(sample_rate)
+    for c, f in enumerate(shifts_hz):
+        f = float(f)
+        if f.is_integer() and fs.is_integer():
+            fi, fsi = int(f), int(fs)
+            ang_j = 2.0 * np.pi * (
+                (fi * dec * np.arange(bm, dtype=object)) % fsi
+            ).astype(np.float64) / fsi
+            ang_i = 2.0 * np.pi * (
+                (fi * dec * bm * np.arange(n_blk, dtype=object)) % fsi
+            ).astype(np.float64) / fsi
+        else:
+            ang_j = 2.0 * np.pi * np.mod(
+                f * dec * np.arange(bm, dtype=np.float64), fs) / fs
+            ang_i = 2.0 * np.pi * np.mod(
+                f * dec * bm * np.arange(n_blk, dtype=np.float64), fs) / fs
+        pj[c] = np.cos(ang_j)
+        pj[c_cnt + c] = np.sin(ang_j)
+        bt[c, 0::_LANE] = np.cos(ang_i)
+        bt[c, 1::_LANE] = np.sin(ang_i)
+    return pj, bt
+
+
 def fm_chain_pallas(buf, kernel_bank, lo_table, n0_rot, decimation, gain,
-                    deemph_b, deemph_a, carry_f, carry_z,
-                    block_m=1024, precision="bf16x3", interpret=False):
+                    deemph_b, deemph_a, carry_f, carry_z, shifts_hz=None,
+                    sample_rate=None,
+                    block_m=4096, precision="bf16x3", interpret=False):
     """Run the fused chain over a tail-prepended planar RF buffer.
 
     Args:
@@ -240,6 +272,9 @@ def fm_chain_pallas(buf, kernel_bank, lo_table, n0_rot, decimation, gain,
       lo_table: (C, 4) numpy digit-fraction table (phase_digit_table).
       n0_rot: traced int32 scalar — global raw-sample index of window 0
         (i.e. n0 - (T-1) mod Fs).
+      shifts_hz / sample_rate: static shift frequencies and Fs, used to
+        precompute exact unit-phasor rotor tables host-side (the kernel
+        multiplies phasors instead of evaluating sin/cos per element).
       decimation, gain, deemph_b/deemph_a: static chain parameters.
       carry_f: planar (C, 1) previous filtered sample (discriminator halo).
       carry_z: (C, 1) de-emphasis TDF-II state.
@@ -285,12 +320,24 @@ def fm_chain_pallas(buf, kernel_bank, lo_table, n0_rot, decimation, gain,
     a1 = float(deemph_a[1]) / float(deemph_a[0])
     cc = b1 - a1 * b0  # TDF-II input coefficient
 
-    n0s = jnp.asarray(n0_rot, jnp.int32).reshape(1)
+    # traced base phasor e^{2i pi frac(f_c * n0 / Fs)} via the digit table
+    # (XLA-side: C sin/cos evaluations, negligible)
+    from gsdr_tpu.utils.phase import phase_fraction_from_table
+
     table = jnp.asarray(np.asarray(lo_table, np.float32))
+    frac0 = phase_fraction_from_table(
+        jnp.asarray(n0_rot, jnp.int32).reshape(1), table[:, None, :])
+    theta0 = _TWO_PI * frac0  # (C, 1)
+    base = jnp.concatenate(
+        [jnp.cos(theta0), jnp.sin(theta0)], axis=1)  # (C, 2)
+
+    n_blk = m // bm
+    pj_np, bt_np = _phasor_tables(shifts_hz, sample_rate, d, bm, n_blk)
     fcar0 = jnp.concatenate([carry_f.re, carry_f.im], axis=1)  # (C, 2)
 
     audio, fcar, zcar = _run_chain(
-        n0s, xp, gh, gl, table, fcar0, jnp.asarray(carry_z),
+        base, xp, gh, gl, jnp.asarray(bt_np), jnp.asarray(pj_np),
+        fcar0, jnp.asarray(carry_z),
         dec=d, block_m=bm, p_cnt=p_cnt, rows=rows, c_cnt=c_cnt,
         gain=float(gain), b0=b0, cc=cc, a1=a1,
         f32_dot=f32_dot, interpret=interpret)

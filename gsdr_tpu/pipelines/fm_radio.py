@@ -144,7 +144,9 @@ class FmChannelizer:
             audio, new_carry, new_zi = fm_chain_pallas(
                 buf, self._tap_bank(), self._lo_table(), rot0,
                 self.decimation, self.gain, b_, a_,
-                disc_carry, deemph_zi)
+                disc_carry, deemph_zi,
+                shifts_hz=tuple(self._shifts()),
+                sample_rate=self.sample_rate)
             new_tail = buf[..., buf.shape[-1] - (t - 1):]
             n0_new = (n0 + jnp.int32(n % fs)) % fs
             return (n0_new, new_tail, new_carry, new_zi), audio
