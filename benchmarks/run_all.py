@@ -88,11 +88,13 @@ def bench_qpsk(n, iters):
 
     def step(state, d):
         from gsdr_tpu.ops.qpsk import qpsk_demodulate_symbols
+        # integer data dependence on the carried state defeats CSE/hoisting
+        d = (d + state.astype(jnp.int32)) % 4
         re_t = jnp.array([1.0, -1.0, 1.0, -1.0], jnp.float32)
         im_t = jnp.array([1.0, 1.0, -1.0, -1.0], jnp.float32)
         s = ComplexArray(re_t[d], im_t[d])
-        s = ComplexArray(s.re + state * 1e-30, s.im)
-        return state, qpsk_demodulate_symbols(s)
+        out = qpsk_demodulate_symbols(s)
+        return state + out[0].astype(jnp.float32), out
 
     sec = time_step(step, jnp.zeros(()), data, iters=iters)
     return {"metric": "qpsk_loopback_msym_s",
@@ -106,9 +108,10 @@ def bench_qpsk256(n, iters):
         np.random.default_rng(0).integers(0, 256, n), jnp.int32)
 
     def step(state, s):
+        s = (s + state.astype(jnp.int32)) % 256
         tx = modem.tx(s)
-        tx = ComplexArray(tx.re + state * 1e-30, tx.im)
-        return state, modem.rx(tx)
+        out = modem.rx(tx)
+        return state + out[0].astype(jnp.float32), out
 
     sec = time_step(step, jnp.zeros(()), syms, iters=iters)
     return {"metric": "qpsk256_loopback_msym_s",

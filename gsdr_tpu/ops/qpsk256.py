@@ -89,12 +89,47 @@ def qpsk256_modulate(symbols, constellation):
     return jnp.asarray(constellation)[symbols]
 
 
+def qpsk256_modulate_rect(symbols, amplitude=1.0):
+    """Arithmetic modulation for the RECTANGULAR constellation.
+
+    index i*16+q maps to I=(i-7.5)/7.5*A, Q=(q-7.5)/7.5*A
+    (src/qpsk256.cu:29-38), so the table gather — slow on TPU vector
+    units — becomes two integer ops and a multiply-add per symbol.
+    Bit-identical to qpsk256_modulate with the rectangular table."""
+    s = jnp.asarray(symbols).astype(jnp.int32)
+    scale = float(amplitude) / 7.5
+    i = jnp.right_shift(s, 4).astype(jnp.float32)
+    q = jnp.bitwise_and(s, 15).astype(jnp.float32)
+    return ComplexArray((i - 7.5) * scale, (q - 7.5) * scale)
+
+
+def qpsk256_demodulate_rect(x, amplitude=1.0, out_dtype=jnp.uint8):
+    """Exact nearest-neighbor demod for the RECTANGULAR constellation.
+
+    The 16x16 grid's Voronoi cells are axis-aligned squares, so nearest
+    neighbor is independent per-axis quantization: idx = clip(round(
+    v/A*7.5 + 7.5), 0, 15), symbol = i*16 + q (src/qpsk256.cu:29-38
+    indexing). O(1) per sample — vs the O(256) exhaustive search — and
+    bit-identical to it away from exact cell boundaries (on a boundary the
+    exhaustive search's strict < tie-break may pick the other neighbor;
+    both are nearest)."""
+    xp = x if is_planar(x) else ComplexArray.from_complex(jnp.asarray(x))
+    scale = 7.5 / float(amplitude)
+
+    def quant(v):
+        return jnp.clip(jnp.round(v * scale + 7.5), 0, 15).astype(jnp.int32)
+
+    sym = quant(xp.re) * 16 + quant(xp.im)
+    return sym.astype(out_dtype)
+
+
 def qpsk256_demodulate(x, constellation, out_dtype=jnp.uint8):
     """Complex samples (..., N) -> nearest-constellation symbol values.
 
     One MXU matmul + argmin instead of the reference's exhaustive per-sample
     loop (src/qpsk256.cu:154-195). Pass ``out_dtype=jnp.int32`` on the TPU
-    path (no uint8 at executable boundaries there).
+    path (no uint8 at executable boundaries there). For the rectangular
+    geometry prefer qpsk256_demodulate_rect (exact, O(1) per sample).
     """
     xp = x if is_planar(x) else ComplexArray.from_complex(jnp.asarray(x))
     cp = constellation if is_planar(constellation) else \

@@ -45,3 +45,7 @@ from gsdr_tpu.parallel.modem import (  # noqa: E402
 )
 
 __all__ += ["make_sharded_qpsk_modem", "make_sharded_qpsk256_modem"]
+
+from gsdr_tpu.parallel.multihost import initialize, make_pod_mesh  # noqa: E402
+
+__all__ += ["initialize", "make_pod_mesh"]

@@ -22,7 +22,9 @@ from gsdr_tpu.ops.qpsk256 import (
     RECTANGULAR,
     qpsk256_constellation,
     qpsk256_demodulate,
+    qpsk256_demodulate_rect,
     qpsk256_modulate,
+    qpsk256_modulate_rect,
 )
 
 
@@ -70,9 +72,16 @@ class Qpsk256Modem:
         )
 
     def tx(self, symbol_bytes):
+        if self.constellation_type == RECTANGULAR:
+            # arithmetic fast path (no table gather), bit-identical
+            return qpsk256_modulate_rect(symbol_bytes, self.amplitude)
         return qpsk256_modulate(symbol_bytes, self.constellation())
 
     def rx(self, samples, out_dtype=jnp.int32):
+        if self.constellation_type == RECTANGULAR:
+            # exact per-axis quantization, O(1) per sample
+            return qpsk256_demodulate_rect(samples, self.amplitude,
+                                           out_dtype=out_dtype)
         return qpsk256_demodulate(samples, self.constellation(),
                                   out_dtype=out_dtype)
 

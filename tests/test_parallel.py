@@ -212,3 +212,29 @@ class TestShardedModems:
         syms = RNG.integers(0, 4, size=(4, 1024)).astype(np.int32)
         out = np.asarray(jax.jit(lambda s: rx(tx(s)))(jnp.asarray(syms)))
         np.testing.assert_array_equal(out, syms)
+
+
+class TestMultihost:
+    def test_pod_mesh_single_host_layout(self):
+        from gsdr_tpu.parallel import make_pod_mesh
+
+        mesh = make_pod_mesh(channel_per_host=2)
+        assert mesh.axis_names == ("channel", "time")
+        assert mesh.shape["channel"] == 2
+        assert mesh.shape["time"] == 4
+
+    def test_pod_mesh_runs_sharded_step(self):
+        from gsdr_tpu.parallel import make_pod_mesh
+        from gsdr_tpu.pipelines import FmChannelizer
+
+        mesh = make_pod_mesh(channel_per_host=2)
+        model = FmChannelizer(
+            sample_rate=1_000_000.0, tuning_frequency=0.0,
+            channel_frequencies=(100_000.0, -50_000.0),
+            frequency_deviation=75_000.0, decimation=4,
+            low_pass_taps=_lowpass(33, 0.04),
+        )
+        step = make_sharded_fm_step(model, mesh)
+        rf = _planar((4096,))
+        st, audio = step(model.init(), rf)
+        assert np.asarray(audio).shape == (2, 1024)

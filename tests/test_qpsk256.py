@@ -113,3 +113,54 @@ def test_tie_breaks_to_lowest_index():
     mid = (cn[0] + cn[1]) / 2.0  # equidistant between symbols 0 and 1
     rec = int(np.asarray(qpsk256_demodulate(np.array([mid]), c))[0])
     assert rec == 0
+
+
+def test_rect_fast_path_matches_exhaustive():
+    """qpsk256_demodulate_rect must agree with the exhaustive NN search on
+    the rectangular grid (away from exact cell boundaries)."""
+    import jax.numpy as jnp
+    from gsdr_tpu.carray import ComplexArray
+    from gsdr_tpu.ops.qpsk256 import (
+        RECTANGULAR, qpsk256_constellation, qpsk256_demodulate,
+        qpsk256_demodulate_rect)
+
+    rng = np.random.default_rng(31)
+    amp = 1.7
+    const = qpsk256_constellation(RECTANGULAR, amp, planar=True)
+    # noisy symbols (noise small enough to stay off exact boundaries)
+    syms = rng.integers(0, 256, 4096)
+    pts = const.to_numpy()[syms]
+    noise = (rng.standard_normal(4096) + 1j * rng.standard_normal(4096))
+    rx = pts + 0.03 * amp * noise
+    x = ComplexArray.from_complex(rx.astype(np.complex64))
+    a = np.asarray(qpsk256_demodulate(x, const, out_dtype=jnp.int32))
+    b = np.asarray(qpsk256_demodulate_rect(x, amp, out_dtype=jnp.int32))
+    np.testing.assert_array_equal(a, b)
+
+
+def test_rect_fast_path_ideal_loopback():
+    import jax.numpy as jnp
+    from gsdr_tpu.ops.qpsk256 import (
+        RECTANGULAR, qpsk256_constellation, qpsk256_demodulate_rect,
+        qpsk256_modulate)
+
+    rng = np.random.default_rng(32)
+    syms = jnp.asarray(rng.integers(0, 256, 2048), jnp.int32)
+    const = qpsk256_constellation(RECTANGULAR, 2.5, planar=True)
+    tx = qpsk256_modulate(syms, const)
+    out = qpsk256_demodulate_rect(tx, 2.5, out_dtype=jnp.int32)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(syms))
+
+
+def test_rect_modulate_fast_path_bit_identical():
+    import jax.numpy as jnp
+    from gsdr_tpu.ops.qpsk256 import (
+        RECTANGULAR, qpsk256_constellation, qpsk256_modulate,
+        qpsk256_modulate_rect)
+
+    rng = np.random.default_rng(33)
+    syms = jnp.asarray(rng.integers(0, 256, 2048), jnp.int32)
+    const = qpsk256_constellation(RECTANGULAR, 1.9, planar=True)
+    a = qpsk256_modulate(syms, const)
+    b = qpsk256_modulate_rect(syms, 1.9)
+    np.testing.assert_allclose(a.to_numpy(), b.to_numpy(), atol=1e-6)
