@@ -66,6 +66,114 @@ def _g_matrix_planes(kernel_np, decimation):
     return g
 
 
+def _window_dot(xp_ref, halo_ref, gh_ref, gl_ref, w_ref, bm, p_cnt, rows,
+                f32_dot):
+    """Build W (2T, BM) from shifted copies of the phase-split input and
+    contract with the tap bank (bf16x3 or exact f32). Shared by the FM and
+    AM fused chain kernels."""
+    v = jnp.concatenate([xp_ref[:, :], halo_ref[:, :]], axis=1)
+    for k in range(p_cnt):
+        w_ref[k * rows:(k + 1) * rows, :] = v[:, k:k + bm]
+    w = w_ref[:, :]
+    if f32_dot:
+        return jnp.dot(gh_ref[:, :], w, preferred_element_type=jnp.float32)
+    wh = w.astype(jnp.bfloat16)
+    wl = (w - wh.astype(jnp.float32)).astype(jnp.bfloat16)
+    y = jnp.dot(gh_ref[:, :], wh, preferred_element_type=jnp.float32)
+    y += jnp.dot(gh_ref[:, :], wl, preferred_element_type=jnp.float32)
+    y += jnp.dot(gl_ref[:, :], wh, preferred_element_type=jnp.float32)
+    return y
+
+
+def _am_chain_kernel(xp_ref, halo_ref, gh_ref, gl_ref, audio_ref, w_ref, *,
+                     p_cnt, rows, c_cnt, f32_dot):
+    """Fused AM chain: windows+dot + envelope 2*clamp(|.|,0,1)-1 (the
+    reference's fused k_Am, /root/reference/src/am.cu:21-50). The LO
+    window-start rotor is a unit phasor and the envelope is
+    magnitude-only, so the rotor drops out entirely — the mixing inside
+    the filter window is already in the complex tap bank."""
+    bm = audio_ref.shape[1]
+    y = _window_dot(xp_ref, halo_ref, gh_ref, gl_ref, w_ref, bm,
+                    p_cnt, rows, f32_dot)
+    y_re = y[:c_cnt, :]
+    y_im = y[c_cnt:, :]
+    mag = jnp.sqrt(y_re * y_re + y_im * y_im)
+    audio_ref[:, :] = 2.0 * jnp.clip(mag, 0.0, 1.0) - 1.0
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("block_m", "p_cnt", "rows", "c_cnt", "f32_dot",
+                     "interpret"))
+def _run_am(xp, gh, gl, *, block_m, p_cnt, rows, c_cnt, f32_dot, interpret):
+    _, mp = xp.shape
+    k2t = gh.shape[1]
+    m_out = mp - _LANE
+    bm = block_m
+    kernel = functools.partial(_am_chain_kernel, p_cnt=p_cnt, rows=rows,
+                               c_cnt=c_cnt, f32_dot=f32_dot)
+    vm = pltpu.VMEM
+    return pl.pallas_call(
+        kernel,
+        grid=(m_out // bm,),
+        in_specs=[
+            pl.BlockSpec((rows, bm), lambda i: (0, i), memory_space=vm),
+            pl.BlockSpec((rows, _LANE),
+                         lambda i: (0, (i * bm) // _LANE + bm // _LANE),
+                         memory_space=vm),
+            pl.BlockSpec((2 * c_cnt, k2t), lambda i: (0, 0), memory_space=vm),
+            pl.BlockSpec((2 * c_cnt, k2t), lambda i: (0, 0), memory_space=vm),
+        ],
+        out_specs=pl.BlockSpec((c_cnt, bm), lambda i: (0, i),
+                               memory_space=vm),
+        out_shape=jax.ShapeDtypeStruct((c_cnt, m_out), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((k2t, bm), jnp.float32)],
+        interpret=interpret,
+    )(xp, xp, gh, gl)
+
+
+def am_chain_pallas(buf, kernel_bank, decimation, block_m=4096,
+                    precision="bf16x3", interpret=False):
+    """Fused AM chain over a tail-prepended planar RF buffer.
+
+    Returns audio (C, M) float32 in [-1, 1]; M = (Nb - T)//D + 1. No
+    streaming carries beyond the caller's raw RF tail (the AM chain is
+    memoryless past the filter window, src/am.cu:21-50)."""
+    interpret = interpret or jax.default_backend() == "cpu"
+    kh = np.asarray(kernel_bank)
+    k2c, _, t = kh.shape
+    c_cnt = k2c // 2
+    d = int(decimation)
+    n = buf.shape[-1]
+    m = (n - t) // d + 1
+    if not fused_chain_supported(d, t, m):
+        raise ValueError(f"unsupported (D={d}, T={t}, M={m}) for fused chain")
+    rows = 2 * d
+    p_cnt = t // d
+    bm = _pick_bm(m, block_m)
+    total_cols = m + _LANE
+    need = total_cols * d
+    xr = jnp.pad(buf.re, (0, max(0, need - n)))[:need]
+    xi = jnp.pad(buf.im, (0, max(0, need - n)))[:need]
+    xp = jnp.stack([xr.reshape(total_cols, d), xi.reshape(total_cols, d)],
+                   axis=-1).reshape(total_cols, rows).T
+
+    import ml_dtypes
+
+    g = _g_matrix_planes(kh, d)
+    if precision == "bf16x3":
+        gh_np = g.astype(ml_dtypes.bfloat16)
+        gl_np = (g - gh_np.astype(np.float32)).astype(ml_dtypes.bfloat16)
+        gh, gl = jnp.asarray(gh_np), jnp.asarray(gl_np)
+        f32_dot = False
+    else:
+        gh, gl = jnp.asarray(g), jnp.asarray(np.zeros_like(g))
+        f32_dot = True
+    audio = _run_am(xp, gh, gl, block_m=bm, p_cnt=p_cnt, rows=rows,
+                    c_cnt=c_cnt, f32_dot=f32_dot, interpret=interpret)
+    return audio[:, :m]
+
+
 def _fm_chain_kernel(xp_ref, halo_ref, gh_ref, gl_ref, base_ref, bt_ref,
                      pj_ref, spow_ref, jpow_ref, fcar0_ref, zcar0_ref,
                      audio_ref, fcar_ref, zcar_ref,
@@ -85,18 +193,8 @@ def _fm_chain_kernel(xp_ref, halo_ref, gh_ref, gl_ref, base_ref, bt_ref,
         carry_ref[:, 2:3] = zcar0_ref[:, :]
 
     # ---- 1) windows + tap-bank contraction -------------------------------
-    v = jnp.concatenate([xp_ref[:, :], halo_ref[:, :]], axis=1)
-    for k in range(p_cnt):
-        w_ref[k * rows:(k + 1) * rows, :] = v[:, k:k + bm]
-    w = w_ref[:, :]
-    if f32_dot:
-        y = jnp.dot(gh_ref[:, :], w, preferred_element_type=jnp.float32)
-    else:
-        wh = w.astype(jnp.bfloat16)
-        wl = (w - wh.astype(jnp.float32)).astype(jnp.bfloat16)
-        y = jnp.dot(gh_ref[:, :], wh, preferred_element_type=jnp.float32)
-        y += jnp.dot(gh_ref[:, :], wl, preferred_element_type=jnp.float32)
-        y += jnp.dot(gl_ref[:, :], wh, preferred_element_type=jnp.float32)
+    y = _window_dot(xp_ref, halo_ref, gh_ref, gl_ref, w_ref, bm,
+                    p_cnt, rows, f32_dot)
     y_re = y[:c_cnt, :]
     y_im = y[c_cnt:, :]
 

@@ -37,6 +37,7 @@ class AmReceiver:
     channel_frequencies: Tuple[float, ...]
     decimation: int
     low_pass_taps: Tuple[float, ...]
+    impl: str = "xla"  # 'xla' | 'pallas' (fused single-kernel chain)
 
     @property
     def num_channels(self):
@@ -80,6 +81,16 @@ class AmReceiver:
             jnp.concatenate([rf_tail.re, rf.re], axis=-1),
             jnp.concatenate([rf_tail.im, rf.im], axis=-1),
         )
+
+        if self.impl == "pallas":
+            # single fused kernel (windows+dot+envelope; the rotor cancels
+            # under magnitude) — kernels/fm_chain_pallas.am_chain_pallas
+            from gsdr_tpu.kernels.fm_chain_pallas import am_chain_pallas
+
+            audio = am_chain_pallas(buf, self._tap_bank(), self.decimation)
+            new_tail = buf[..., buf.shape[-1] - (t - 1):]
+            n0_new = (n0 + jnp.int32(n % fs)) % fs
+            return (n0_new, new_tail), audio
         y = mix_fir_decimate_bank(buf, self._tap_bank(), self.decimation)
         rot0 = (n0 + jnp.int32(fs - (t - 1) % fs)) % fs
         filt = rotate_bank(y, jnp.asarray(self._lo_table()), rot0,

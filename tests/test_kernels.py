@@ -157,3 +157,32 @@ class TestKernelMath:
             got = float(atan2_poly(jnp.float32(yv), jnp.float32(xv)))
             want = float(np.arctan2(np.float32(yv), np.float32(xv)))
             assert abs(got - want) < 3e-6, (yv, xv, got, want)
+
+
+class TestFusedAmChain:
+    def test_matches_unfused(self):
+        import dataclasses as dc
+        from gsdr_tpu.pipelines import AmReceiver
+
+        def lowpass(nt, cf):
+            n = np.arange(nt) - (nt - 1) / 2.0
+            h = np.sinc(2 * cf * n) * np.hamming(nt)
+            return tuple((h / h.sum()).astype(np.float32).tolist())
+
+        m = AmReceiver(sample_rate=FS, tuning_frequency=0.0,
+                       channel_frequencies=(120_000.0, -50_000.0),
+                       decimation=4, low_pass_taps=lowpass(64, 0.04))
+        mp = dc.replace(m, impl="pallas")
+        z = 0.3 * (RNG.standard_normal(8192)
+                   + 1j * RNG.standard_normal(8192))
+        rf = ComplexArray.from_complex(z.astype(np.complex64))
+        st1 = m.init()
+        st2 = mp.init()
+        for blk in range(2):
+            part = rf[..., blk * 4096:(blk + 1) * 4096]
+            st1, y1 = m.step(st1, part)
+            st2, y2 = mp.step(st2, part)
+            err = np.max(np.abs(np.asarray(y1) - np.asarray(y2)))
+            assert err < 2e-3, (blk, err)
+        # envelope is magnitude-only, so unlike FM there is no branch-cut
+        # sensitivity and noise input is a fair comparison
