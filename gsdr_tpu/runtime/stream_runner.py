@@ -62,7 +62,13 @@ class StreamRunner:
         self._step = jax.jit(step)
         self.state = init_state
         self.ring = RingBuffer(ring_capacity or 4 * self.block_len)
-        self._pending = []
+        # observability counters (the reference has no metrics at all,
+        # SURVEY.md section 5)
+        self.stats = {
+            "samples_in": 0,
+            "blocks_processed": 0,
+            "ring_high_watermark": 0,
+        }
 
     def feed_planar(self, re, im):
         """Stage planar samples into the transport ring."""
@@ -72,6 +78,9 @@ class StreamRunner:
         written = self.ring.write(inter)
         if written < len(re):
             raise RuntimeError("ring overflow: consumer too slow")
+        self.stats["samples_in"] += written
+        self.stats["ring_high_watermark"] = max(
+            self.stats["ring_high_watermark"], self.ring.readable)
 
     def pump(self):
         """Process as many full blocks as are buffered; returns list of
@@ -81,6 +90,7 @@ class StreamRunner:
             re, im = self.ring.read_planar(self.block_len)
             block = ComplexArray(jnp.asarray(re), jnp.asarray(im))
             self.state, out = self._step(self.state, block)
+            self.stats["blocks_processed"] += 1
             outs.append(out)
         return outs
 
