@@ -229,3 +229,27 @@ def run_stream(chain, states, blocks):
         states, y = chain.step(states, blk)
         outs.append(y)
     return states, outs
+
+
+def scan_stream(step, state, blocks):
+    """Run ``step`` over a leading block axis inside ONE jitted lax.scan.
+
+    ``blocks``: array/pytree shaped (num_blocks, ...block_shape) — e.g.
+    reshape a long planar capture into (B, L) with
+    ``ComplexArray(re.reshape(B, L), im.reshape(B, L))``. Returns
+    (final_state, outs) with outs stacked on the leading axis.
+
+    This is the high-throughput driver: the per-dispatch host<->device
+    round trip (tens of ms on tunnel-attached chips) is paid once per
+    capture instead of once per block, and XLA pipelines the chained
+    steps. The functional state threading is what makes this possible —
+    the reference's caller-managed-pointer contracts cannot be scanned.
+    """
+    import jax
+    from jax import lax
+
+    def body(st, blk):
+        st, out = step(st, blk)
+        return st, out
+
+    return lax.scan(body, state, blocks)

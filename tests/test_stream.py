@@ -196,3 +196,50 @@ class TestChain:
         np.testing.assert_array_equal(
             y_direct.to_numpy(), y_restored.to_numpy()
         )
+
+
+class TestScanStream:
+    def test_matches_python_loop(self):
+        from gsdr_tpu.stream import scan_stream
+        import jax
+
+        taps = tuple((np.ones(16, np.float32) / 16.0).tolist())
+        chain = Chain(stages=(
+            MixerStream(freq_shift_hz=1000.0, sample_rate=48_000.0),
+            FirStream(taps=taps, decimation=2),
+        ))
+        x = _planar(4096)
+        blocks = ComplexArray(x.re.reshape(8, 512), x.im.reshape(8, 512))
+        st0 = chain.init(x[..., :512])
+        # python loop
+        st, outs = st0, []
+        for i in range(8):
+            st, y = chain.step(st, blocks[i])
+            outs.append(y.to_numpy())
+        want = np.stack(outs)
+        # one jitted scan
+        st2, got = jax.jit(
+            lambda s, b: scan_stream(chain.step, s, b))(st0, blocks)
+        np.testing.assert_allclose(got.to_numpy(), want, atol=1e-5)
+        np.testing.assert_allclose(
+            np.asarray(st2[0]), np.asarray(st[0]), atol=0)
+
+    def test_channelizer_scan(self):
+        from gsdr_tpu.stream import scan_stream
+        from gsdr_tpu.pipelines import FmChannelizer
+        import jax
+
+        def lowpass(nt, cf):
+            n = np.arange(nt) - (nt - 1) / 2.0
+            h = np.sinc(2 * cf * n) * np.hamming(nt)
+            return tuple((h / h.sum()).astype(np.float32).tolist())
+
+        model = FmChannelizer(
+            sample_rate=1_000_000.0, tuning_frequency=0.0,
+            channel_frequencies=(100_000.0,), frequency_deviation=75_000.0,
+            decimation=4, low_pass_taps=lowpass(33, 0.04))
+        x = _planar(8192)
+        blocks = ComplexArray(x.re.reshape(2, 4096), x.im.reshape(2, 4096))
+        st, audio = jax.jit(
+            lambda s, b: scan_stream(model.step, s, b))(model.init(), blocks)
+        assert np.asarray(audio).shape == (2, 1, 1024)
