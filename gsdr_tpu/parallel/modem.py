@@ -19,7 +19,13 @@ except ImportError:  # older jax
 
 from gsdr_tpu.carray import ComplexArray
 from gsdr_tpu.ops.qpsk import qpsk_demodulate_symbols, qpsk_modulate
-from gsdr_tpu.ops.qpsk256 import qpsk256_demodulate, qpsk256_modulate
+from gsdr_tpu.ops.qpsk256 import (
+    RECTANGULAR,
+    qpsk256_demodulate,
+    qpsk256_demodulate_rect,
+    qpsk256_modulate,
+    qpsk256_modulate_rect,
+)
 
 
 def _shmap(f, mesh, in_specs, out_specs):
@@ -35,12 +41,20 @@ def make_sharded_qpsk256_modem(modem, mesh):
     S (streams) shards over 'channel', N (symbols) over 'time'.
     """
     const = modem.constellation()  # planar (256,) ComplexArray
+    rect = modem.constellation_type == RECTANGULAR
+    amp = modem.amplitude
 
     def tx_body(sym, cre, cim):
-        out = qpsk256_modulate(sym, ComplexArray(cre, cim))
+        if rect:  # arithmetic fast path, bit-identical (ops/qpsk256.py)
+            out = qpsk256_modulate_rect(sym, amp)
+        else:
+            out = qpsk256_modulate(sym, ComplexArray(cre, cim))
         return out.re, out.im
 
     def rx_body(sre, sim, cre, cim):
+        if rect:
+            return qpsk256_demodulate_rect(ComplexArray(sre, sim), amp,
+                                           out_dtype=jnp.int32)
         return qpsk256_demodulate(ComplexArray(sre, sim),
                                   ComplexArray(cre, cim),
                                   out_dtype=jnp.int32)
