@@ -46,6 +46,7 @@ from gsdr_tpu.ops.qpsk import (
 )
 from gsdr_tpu.ops.channelize import channelize, make_complex_tap_bank
 from gsdr_tpu.ops.pfb import pfb_channelize
+from gsdr_tpu.ops.resample import design_resampler_taps, resample
 from gsdr_tpu.ops.qpsk256 import (
     qpsk256_constellation,
     qpsk256_demodulate,
@@ -71,6 +72,8 @@ __all__ = [
     "channelize",
     "make_complex_tap_bank",
     "pfb_channelize",
+    "resample",
+    "design_resampler_taps",
     "freq_shift",
     "lo_signal",
     "quad_am_demod",

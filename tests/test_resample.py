@@ -1,0 +1,93 @@
+"""Rational polyphase resampler vs a brute-force upfirdn golden model."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from gsdr_tpu.carray import ComplexArray
+from gsdr_tpu.ops.resample import design_resampler_taps, resample
+
+RNG = np.random.default_rng(77)
+
+
+def upfirdn_golden(x, h, l, m):
+    """Literal upsample-by-L -> conv -> downsample-by-M in float64,
+    trimmed to the same output alignment as ops/resample.py:
+    y[j] = sum_k up[x][jM + off0'(implementation window) ...] — we compute
+    the full 'valid-from-0' convention: y[j] = sum_t up[j*M - t + T-1]...
+    Simpler: evaluate the module's own formula directly."""
+    x = np.asarray(x, np.complex128)
+    h = np.asarray(h, np.float64)
+    t = len(h)
+    q_cnt = -(-t // l)
+    off = [int((r * m) // l) for r in range(l)]
+    off0 = min(off) - (q_cnt - 1)
+    # implementation: input shifted so window pos 0 = off0; conv VALID
+    # over windows of length w with stride m
+    w = (q_cnt - 1) + (max(off) - min(off)) + 1
+    if off0 < 0:
+        xs = np.concatenate([np.zeros(-off0, np.complex128), x])
+    else:
+        xs = x[off0:]
+    q_out = (len(xs) - w) // m + 1
+    y = np.zeros(q_out * l, np.complex128)
+    for q in range(q_out):
+        for r in range(l):
+            acc = 0.0
+            for k in range(q_cnt):
+                tap = (r * m) % l + k * l
+                if tap >= t:
+                    continue
+                idx = q * m + (off[r] - k) - off0
+                if 0 <= idx < len(xs):
+                    acc += xs[idx] * h[tap]
+            y[q * l + r] = acc * l
+    return y
+
+
+@pytest.mark.parametrize("l,m", [(2, 1), (3, 2), (5, 4), (1, 3), (48, 125)])
+def test_matches_golden(l, m):
+    n = 600
+    z = (RNG.standard_normal(n) + 1j * RNG.standard_normal(n))
+    x = ComplexArray.from_complex(z.astype(np.complex64))
+    taps = design_resampler_taps(l, m, taps_per_phase=8)
+    got = resample(x, l, m, taps).to_numpy()
+    want = upfirdn_golden(z, taps, *(np.array([l, m]) //
+                                     np.gcd(l, m)).tolist())
+    nmin = min(len(got), len(want))
+    np.testing.assert_allclose(got[:nmin], want[:nmin], atol=2e-5)
+
+
+def test_tone_frequency_preserved():
+    """A tone at f stays at f after resampling (new rate L/M * Fs)."""
+    fs = 48_000.0
+    l, m = 125, 48  # 48 kHz -> 125 kHz
+    n = 1 << 14
+    f0 = 5_000.0
+    t = np.arange(n) / fs
+    x = ComplexArray.from_complex(
+        np.exp(2j * np.pi * f0 * t).astype(np.complex64))
+    y = resample(x, l, m).to_numpy()
+    y = y[500:-500]
+    fs2 = fs * l / m
+    spec = np.abs(np.fft.fft(y * np.hanning(len(y))))
+    freqs = np.fft.fftfreq(len(y), 1.0 / fs2)
+    peak = freqs[np.argmax(spec)]
+    assert abs(peak - f0) < 30.0, peak
+    # amplitude preserved within filter ripple
+    assert abs(np.mean(np.abs(y)) - 1.0) < 0.05
+
+
+def test_real_input_real_output():
+    x = RNG.standard_normal(512).astype(np.float32)
+    y = resample(jnp.asarray(x), 3, 2)
+    assert np.asarray(y).dtype == np.float32
+    assert np.asarray(y).ndim == 1
+
+
+def test_identity_when_l_equals_m():
+    z = (RNG.standard_normal(400) + 1j * RNG.standard_normal(400))
+    x = ComplexArray.from_complex(z.astype(np.complex64))
+    y = resample(x, 7, 7).to_numpy()  # reduces to 1/1: pure FIR delay
+    # energy preserved through the (unit-DC) prototype
+    assert abs(np.std(y[50:-50]) / np.std(z) - 1.0) < 0.15
