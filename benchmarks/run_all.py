@@ -66,17 +66,20 @@ def bench_shift_fir(n, iters):
             "value": round(n / sec / 1e6, 2), "unit": "Msamples/s"}
 
 
-def bench_fm(n, iters, impl="xla"):
-    """Config 3 (flagship): 16-channel FM chain incl. de-emphasis."""
+def bench_fm(n, iters, impl="xla", nch=16):
+    """Config 3 (flagship): C-channel FM chain incl. de-emphasis.
+
+    nch=64 fills the MXU's 128-wide output dimension (2C = 128); at
+    nch=16 the contraction structurally uses 1/4 of the MXU width."""
     model = FmChannelizer(
         sample_rate=1e6, tuning_frequency=0.0,
-        channel_frequencies=tuple(-480_000.0 + 60_000.0 * i
-                                  for i in range(16)),
+        channel_frequencies=tuple(-480_000.0 + (960_000.0 / nch) * i
+                                  for i in range(nch)),
         frequency_deviation=75_000.0, decimation=4,
         low_pass_taps=_lowpass(64, 0.03), impl=impl)
     rf = _noise(n)
     sec = time_step(model.step, model.init(), rf, iters=iters)
-    return {"metric": f"fm_channelizer_16ch_{impl}_input_msps",
+    return {"metric": f"fm_channelizer_{nch}ch_{impl}_input_msps",
             "value": round(n / sec / 1e6, 2), "unit": "Msamples/s"}
 
 
@@ -131,6 +134,7 @@ def main(argv=None):
         bench_shift_fir(n, iters),
         bench_fm(n, iters, impl="xla"),
         bench_fm(n, iters, impl="pallas"),
+        bench_fm(n, iters, impl="pallas", nch=64),
         bench_qpsk(n, iters),
         bench_qpsk256(min(n, 1 << 19), iters),
     ]

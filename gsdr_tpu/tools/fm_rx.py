@@ -44,6 +44,9 @@ def main(argv=None):
     p.add_argument("--format", default="int8",
                    choices=["int8", "int16", "float32"])
     p.add_argument("--block", type=int, default=1 << 17)
+    p.add_argument("--audio-rate", type=float, default=None,
+                   help="resample audio to this rate (rational polyphase "
+                        "resampler, e.g. 48000)")
     p.add_argument("--save-state", default=None)
     p.add_argument("--load-state", default=None)
     args = p.parse_args(argv)
@@ -63,6 +66,23 @@ def main(argv=None):
     if args.load_state:
         state = load_state(args.load_state, state)
 
+    resamp = None
+    if args.audio_rate:
+        from fractions import Fraction
+
+        from gsdr_tpu.ops.resample import resample
+
+        frac = Fraction(int(round(args.audio_rate)),
+                        int(round(model.audio_rate))).limit_denominator(512)
+        l_up, m_down = frac.numerator, frac.denominator
+
+        def resamp(audio):
+            return resample(audio, l_up, m_down)
+
+        print(f"resampling audio {model.audio_rate:.0f} -> "
+              f"{model.audio_rate * l_up / m_down:.0f} Hz (L/M = "
+              f"{l_up}/{m_down})", file=sys.stderr)
+
     runner = StreamRunner(model.step, state, block_len=args.block)
     src = IqFileSource(args.input, fmt=args.format,
                        chunk_samples=args.block)
@@ -74,6 +94,8 @@ def main(argv=None):
                 break
             runner.feed_planar(*chunk)
             for audio in runner.pump():
+                if resamp is not None:
+                    audio = resamp(audio)
                 a = np.asarray(audio)  # (C, L)
                 out.write(np.ascontiguousarray(a.T, np.float32).tobytes())
                 frames += a.shape[1]

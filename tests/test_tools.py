@@ -92,3 +92,33 @@ class TestFmRxCli:
         peak_hz = (np.argmax(spec[5:]) + 5) * (fs / 4) / len(a)
         assert abs(peak_hz - tone) < 40.0, peak_hz
         assert state_file.exists()
+
+
+def test_fm_rx_cli_with_audio_resample(tmp_path):
+    from gsdr_tpu.tools import fm_rx
+
+    fs = 128_000.0
+    n = 1 << 14
+    t = np.arange(n) / fs
+    tone, dev, fc = 800.0, 3000.0, 20_000.0
+    rf = np.exp(1j * (2 * np.pi * fc * t
+                      + (dev / tone) * np.sin(2 * np.pi * tone * t)))
+    inter = np.empty(2 * n, np.float32)
+    inter[0::2] = rf.real * 0.8
+    inter[1::2] = rf.imag * 0.8
+    iq = tmp_path / "in.iq"
+    iq.write_bytes(np.clip(np.round(inter * 127), -127, 127)
+                   .astype(np.int8).tobytes())
+    out = tmp_path / "audio48.f32"
+    fm_rx.main([
+        str(iq), "-o", str(out), "--fs", str(fs), "--channels", str(fc),
+        "--deviation", str(dev), "--decim", "4", "--taps", "65",
+        "--block", "8192", "--audio-rate", "48000",
+    ])
+    audio = np.frombuffer(out.read_bytes(), np.float32)
+    # 32 kHz audio -> 48 kHz: 3/2 resampling per 2048-sample block
+    assert len(audio) > 0
+    a = audio[500:] - audio[500:].mean()
+    spec = np.abs(np.fft.rfft(a * np.hanning(len(a))))
+    peak_hz = (np.argmax(spec[5:]) + 5) * 48_000.0 / len(a)
+    assert abs(peak_hz - tone) < 40.0, peak_hz
