@@ -72,6 +72,9 @@ def _window_dot(xp_ref, halo_ref, gh_ref, gl_ref, w_ref, bm, p_cnt, rows,
     contract with the tap bank (bf16x3 or exact f32). Shared by the FM and
     AM fused chain kernels."""
     v = jnp.concatenate([xp_ref[:, :], halo_ref[:, :]], axis=1)
+    # W goes through scratch on purpose: building it as one concatenated
+    # value crashes Mosaic's compiler at these sizes (tpu_compile_helper
+    # exit 1), while per-shift scratch stores lower cleanly
     for k in range(p_cnt):
         w_ref[k * rows:(k + 1) * rows, :] = v[:, k:k + bm]
     w = w_ref[:, :]
