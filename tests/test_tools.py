@@ -122,3 +122,17 @@ def test_fm_rx_cli_with_audio_resample(tmp_path):
     spec = np.abs(np.fft.rfft(a * np.hanning(len(a))))
     peak_hz = (np.argmax(spec[5:]) + 5) * 48_000.0 / len(a)
     assert abs(peak_hz - tone) < 40.0, peak_hz
+
+
+def test_throughput_report_structure():
+    import jax.numpy as jnp
+    from gsdr_tpu.utils.profiling import throughput_report
+
+    def step(st, x):
+        return st + jnp.sum(x) * 1e-30, x * 2.0
+
+    rep = throughput_report(step, jnp.zeros(()), jnp.ones(1024),
+                            samples_per_step=1024, iters=3, label="x2")
+    assert rep["label"] == "x2"
+    assert rep["samples_per_second"] > 0
+    assert rep["msamples_per_second"] == rep["samples_per_second"] / 1e6
