@@ -1,4 +1,4 @@
-"""Fully fused FM channelizer chain as ONE Pallas TPU kernel.
+"""Fully fused FM/AM channelizer chains as ONE Pallas TPU kernel each.
 
 The flagship chain — mix bank + FIR + decimate (complex-tap-bank conv),
 LO rotor, quadrature discriminator, first-order IIR de-emphasis — executes
@@ -9,21 +9,34 @@ This is the TPU counterpart of the reference's single fused k_Fm kernel
 exchange (src/fm.cu:58-64), which here is a carried last-column scratch
 that persists across the sequential Pallas grid.
 
-Stages per grid step (block of BM decimated outputs):
-  1. window matmul: W (2T, BM) built from shifted copies of the phase-split
-     input (see channelize_pallas.py), contracted with the complex tap bank
-     as 3-pass bf16x3 (or exact f32) -> filtered planes (C, BM) x2. G rows
-     are planes-major (re rows 0..C-1, im rows C..2C-1) so the planes are
-     contiguous slices.
-  2. LO rotor: theta from exact digit-table phase fractions of the global
-     raw index n0 + j*D (utils/phase.py scheme, computed in-kernel from a
-     broadcasted iota + the (C, 4) table; n0 arrives as an SMEM scalar).
-  3. discriminator: gain * atan2 of y[j]*conj(y[j-1]); the j=0 column uses
-     the carried previous filtered sample.
-  4. de-emphasis in transposed DF-II form: z[j] = c*d[j] - a1*z[j-1]
-     (prefix computed by a log2(BM)-step Hillis-Steele scan over lanes +
-     the carried state contribution a^{j+1} z_prev), then
-     y[j] = b0*d[j] + z[j-1].
+Round-2 restructure — MXU M-dimension stacking. The round-1 kernel
+contracted G (2C, 2T) @ W (2T, BM): at C=16 the 32-row M dimension used
+1/4 of the 128x128 MXU (measured 2.8x headroom, BASELINE.md). Here R
+consecutive decimated outputs are STACKED into the M dimension:
+
+    column J of the window matrix covers R outputs j = J*R + r, and
+    G' ((R*2C), K) holds R vertically stacked, horizontally SHIFTED copies
+    of the tap bank (output r's taps start at shift-row r), so
+
+    Y (R*2C, BN) = G' @ W'    with W'[g-th group] = xq shifted g coarse cols
+
+fills the MXU at R*2C = 128 rows for the flagship C=16, at the cost of
+K = ceil((T/D + R - 1)/R)*R * 2D contraction rows (~25% extra FLOPs at
+C=16/T=64/D=4 — a 4x M-utilization win for a 1.25x FLOP cost). The same
+coarse-column layout makes D in {1, 2} supported (round-1 required
+2D % 8 == 0; now the alignment unit is R*2D).
+
+Stages per grid step (block of BN coarse columns = R*BN outputs):
+  1. stacked window matmul (above), 3-pass bf16x3 / 2-pass bf16x2 / f32.
+  2. LO rotor: per-r phasor product of host-exact tables (no per-element
+     transcendentals); traced stream offset enters via one (C, 2) phasor.
+  3. discriminator: gain * atan2(y[j]*conj(y[j-1])); r=0 takes r=R-1
+     shifted one column; the first column uses the carried sample.
+  4. de-emphasis z[j] = cc*d[j] + a*z[j-1], y[j] = b0*d[j] + z[j-1]
+     decomposed over (J, r): per-column partials (R unrolled fmas), one
+     log2(BN)-step Hillis-Steele scan over J with multiplier a^R, then
+     per-r reconstruction — exact, matching ops/iir.py bit-for-bit in
+     structure (carried state IS the TDF-II z).
 
 The carried state is exactly the unfused pipeline's state pytree
 (disc_carry = last filtered sample, deemph_zi = TDF-II state), so the
@@ -44,39 +57,128 @@ from gsdr_tpu.carray import ComplexArray
 _LANE = 128
 _SUB = 8
 _TWO_PI = 6.283185307179586
-_BASE_BITS = 8
-_NUM_DIGITS = 4
-_MAX_LOG_BM = 16
+_MAX_LOG_BN = 16
 
 
-def _g_matrix_planes(kernel_np, decimation):
-    """(2C, 2, T) conv kernel -> (2C, 2T) with planes-major rows:
-    row c = re plane of channel c, row C+c = im plane."""
+# ---------------------------------------------------------------------------
+# Stacking geometry
+# ---------------------------------------------------------------------------
+
+def _pick_r(c_eff, decimation):
+    """Stacking factor R (power of two): at least the sublane-alignment
+    minimum (R*2D % 8 == 0), then grown while the MXU M-fill win outweighs
+    the K-row overhead (G' gains R-1 shift rows)."""
+    d = int(decimation)
+    r = 1
+    while (r * 2 * d) % _SUB != 0:
+        r *= 2
+    # grow while still under the MXU M dim: each doubling doubles fill
+    # (2x win) for a (p+2R)/(p+R)-ish K cost (< 2x) — always worth it
+    # until R*2C reaches 128.
+    while r * 2 * c_eff < _LANE:
+        r *= 2
+    return r
+
+
+def _pick_bn(n_cols, block_cols):
+    bn = _LANE
+    while bn * 2 <= block_cols and n_cols % (bn * 2) == 0:
+        bn *= 2
+    return bn
+
+
+def _stack_geometry(c_cnt, t, d, m):
+    """(c_eff, R, groups, K) for the stacked contraction, or None if the
+    shape cannot run fused. c_eff pads channels to a sublane multiple so
+    every in-kernel row slice is 8-aligned."""
+    if t % d != 0:
+        return None
+    c_eff = -(-c_cnt // _SUB) * _SUB
+    r = _pick_r(c_eff, d)
+    while r > 1 and (m % (r * _LANE) != 0):
+        r //= 2
+    if m % (r * _LANE) != 0 or (r * 2 * d) % _SUB != 0:
+        return None
+    p_cnt = t // d
+    groups = -(-(p_cnt + r - 1) // r)
+    # keep K a multiple of 16 so the bf16 operand tiles cleanly
+    while (groups * r * 2 * d) % 16 != 0:
+        groups += 1
+    return c_eff, r, groups, groups * r * 2 * d
+
+
+def fused_chain_supported(decimation, num_taps, m_out, num_channels=16):
+    """True when the fused single-kernel chain can run this shape:
+    T % D == 0 and M a multiple of R*128 for the chosen stacking factor."""
+    return _stack_geometry(int(num_channels), int(num_taps),
+                           int(decimation), int(m_out)) is not None
+
+
+def _g_matrix_stacked(kernel_np, decimation, c_eff, r_stack, groups):
+    """(2C, 2, T) conv kernel -> G' (R*2C_eff, K) stacked contraction matrix.
+
+    Row r*2C + c is the re (c < C_eff) / im (c >= C_eff) plane of channel c
+    for output phase r; column s*2D + p*2 + plane multiplies
+    xq[(s%R)*2D + p*2 + plane, J + s//R] = plane(x[(J*R + s)*D + p]), which
+    is tap t = (s - r)*D + p of output j = J*R + r."""
     k2c, _, t = kernel_np.shape
     c_cnt = k2c // 2
-    d = decimation
+    d = int(decimation)
     p_cnt = t // d
-    g = np.zeros((k2c, 2 * t), np.float32)
-    for k in range(p_cnt):
-        for p in range(d):
-            for plane in range(2):
-                col = k * 2 * d + p * 2 + plane
-                g[:c_cnt, col] = kernel_np[0::2, plane, k * d + p]
-                g[c_cnt:, col] = kernel_np[1::2, plane, k * d + p]
+    s_tot = groups * r_stack
+    g = np.zeros((r_stack * 2 * c_eff, s_tot * 2 * d), np.float32)
+    for r in range(r_stack):
+        for s in range(r, min(r + p_cnt, s_tot)):
+            k = s - r
+            for p in range(d):
+                for plane in range(2):
+                    col = s * 2 * d + p * 2 + plane
+                    row0 = r * 2 * c_eff
+                    g[row0:row0 + c_cnt, col] = \
+                        kernel_np[0::2, plane, k * d + p]
+                    g[row0 + c_eff:row0 + c_eff + c_cnt, col] = \
+                        kernel_np[1::2, plane, k * d + p]
     return g
 
 
-def _window_dot(xp_ref, halo_ref, gh_ref, gl_ref, w_ref, bm, p_cnt, rows,
+def _xq_prep(buf, d, r_stack, n_coarse_total):
+    """Planar (Nb,) RF -> xq (R*2D, n_coarse_total) with
+    xq[u*2D + p*2 + plane, J] = plane(x[(J*R + u)*D + p])."""
+    rows = r_stack * 2 * d
+    need = n_coarse_total * r_stack * d
+    n = buf.shape[-1]
+    xr = jnp.pad(buf.re, (0, max(0, need - n)))[:need]
+    xi = jnp.pad(buf.im, (0, max(0, need - n)))[:need]
+    xp = jnp.stack(
+        [xr.reshape(n_coarse_total, r_stack * d),
+         xi.reshape(n_coarse_total, r_stack * d)],
+        axis=-1,
+    ).reshape(n_coarse_total, rows)
+    return xp.T
+
+
+def _split_g(g, precision):
+    """Host-side (hi, lo) bf16 split (or f32 passthrough) of G'."""
+    import ml_dtypes
+
+    if precision in ("bf16x3", "bf16x2"):
+        gh_np = g.astype(ml_dtypes.bfloat16)
+        gl_np = (g - gh_np.astype(np.float32)).astype(ml_dtypes.bfloat16)
+        return jnp.asarray(gh_np), jnp.asarray(gl_np), precision
+    return jnp.asarray(g), jnp.asarray(np.zeros_like(g)), "f32"
+
+
+def _window_dot(xq_ref, halo_ref, gh_ref, gl_ref, w_ref, bn, groups, rows,
                 f32_dot):
-    """Build W (2T, BM) from shifted copies of the phase-split input and
-    contract with the tap bank (bf16x3 or exact f32). Shared by the FM and
-    AM fused chain kernels."""
-    v = jnp.concatenate([xp_ref[:, :], halo_ref[:, :]], axis=1)
+    """Build W' (K, BN) from ``groups`` full-height shifted copies of the
+    coarse-column phase-split input and contract with the stacked tap bank
+    (bf16x3 / bf16x2 / exact f32). Shared by the FM and AM fused kernels."""
+    v = jnp.concatenate([xq_ref[:, :], halo_ref[:, :]], axis=1)
     # W goes through scratch on purpose: building it as one concatenated
     # value crashes Mosaic's compiler at these sizes (tpu_compile_helper
     # exit 1), while per-shift scratch stores lower cleanly
-    for k in range(p_cnt):
-        w_ref[k * rows:(k + 1) * rows, :] = v[:, k:k + bm]
+    for g in range(groups):
+        w_ref[g * rows:(g + 1) * rows, :] = v[:, g:g + bn]
     w = w_ref[:, :]
     if f32_dot == "f32":
         return jnp.dot(gh_ref[:, :], w, preferred_element_type=jnp.float32)
@@ -91,54 +193,81 @@ def _window_dot(xp_ref, halo_ref, gh_ref, gl_ref, w_ref, bm, p_cnt, rows,
     return y
 
 
-def _am_chain_kernel(xp_ref, halo_ref, gh_ref, gl_ref, audio_ref, w_ref, *,
-                     p_cnt, rows, c_cnt, f32_dot):
-    """Fused AM chain: windows+dot + envelope 2*clamp(|.|,0,1)-1 (the
-    reference's fused k_Am, /root/reference/src/am.cu:21-50). The LO
-    window-start rotor is a unit phasor and the envelope is
-    magnitude-only, so the rotor drops out entirely — the mixing inside
-    the filter window is already in the complex tap bank."""
-    bm = audio_ref.shape[1]
-    y = _window_dot(xp_ref, halo_ref, gh_ref, gl_ref, w_ref, bm,
-                    p_cnt, rows, f32_dot)
-    y_re = y[:c_cnt, :]
-    y_im = y[c_cnt:, :]
-    mag = jnp.sqrt(y_re * y_re + y_im * y_im)
-    audio_ref[:, :] = 2.0 * jnp.clip(mag, 0.0, 1.0) - 1.0
+# ---------------------------------------------------------------------------
+# AM fused chain
+# ---------------------------------------------------------------------------
+
+def _am_chain_kernel(xq_ref, halo_ref, gh_ref, gl_ref, audio_ref, w_ref, *,
+                     groups, rows, c_eff, r_stack, f32_dot):
+    """Fused AM chain: stacked windows+dot + envelope 2*clamp(|.|,0,1)-1
+    (the reference's fused k_Am, /root/reference/src/am.cu:21-50). The LO
+    window-start rotor is a unit phasor and the envelope is magnitude-only,
+    so the rotor drops out entirely — the mixing inside the filter window
+    is already in the complex tap bank."""
+    bn = audio_ref.shape[1]
+    y = _window_dot(xq_ref, halo_ref, gh_ref, gl_ref, w_ref, bn,
+                    groups, rows, f32_dot)
+    for r in range(r_stack):
+        row0 = r * 2 * c_eff
+        y_re = y[row0:row0 + c_eff, :]
+        y_im = y[row0 + c_eff:row0 + 2 * c_eff, :]
+        mag = jnp.sqrt(y_re * y_re + y_im * y_im)
+        audio_ref[r * c_eff:(r + 1) * c_eff, :] = \
+            2.0 * jnp.clip(mag, 0.0, 1.0) - 1.0
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("block_m", "p_cnt", "rows", "c_cnt", "f32_dot",
-                     "interpret"))
-def _run_am(xp, gh, gl, *, block_m, p_cnt, rows, c_cnt, f32_dot, interpret):
-    _, mp = xp.shape
-    k2t = gh.shape[1]
-    m_out = mp - _LANE
-    bm = block_m
-    kernel = functools.partial(_am_chain_kernel, p_cnt=p_cnt, rows=rows,
-                               c_cnt=c_cnt, f32_dot=f32_dot)
+    static_argnames=("block_n", "groups", "rows", "c_eff", "r_stack",
+                     "f32_dot", "interpret"))
+def _run_am(xq, gh, gl, *, block_n, groups, rows, c_eff, r_stack, f32_dot,
+            interpret):
+    _, n_coarse_total = xq.shape
+    k_rows = gh.shape[1]
+    n_out = n_coarse_total - _LANE
+    bn = block_n
+    kernel = functools.partial(_am_chain_kernel, groups=groups, rows=rows,
+                               c_eff=c_eff, r_stack=r_stack, f32_dot=f32_dot)
     vm = pltpu.VMEM
     return pl.pallas_call(
         kernel,
-        grid=(m_out // bm,),
+        grid=(n_out // bn,),
         in_specs=[
-            pl.BlockSpec((rows, bm), lambda i: (0, i), memory_space=vm),
+            pl.BlockSpec((rows, bn), lambda i: (0, i), memory_space=vm),
             pl.BlockSpec((rows, _LANE),
-                         lambda i: (0, (i * bm) // _LANE + bm // _LANE),
+                         lambda i: (0, (i * bn) // _LANE + bn // _LANE),
                          memory_space=vm),
-            pl.BlockSpec((2 * c_cnt, k2t), lambda i: (0, 0), memory_space=vm),
-            pl.BlockSpec((2 * c_cnt, k2t), lambda i: (0, 0), memory_space=vm),
+            pl.BlockSpec(gh.shape, lambda i: (0, 0), memory_space=vm),
+            pl.BlockSpec(gl.shape, lambda i: (0, 0), memory_space=vm),
         ],
-        out_specs=pl.BlockSpec((c_cnt, bm), lambda i: (0, i),
+        out_specs=pl.BlockSpec((r_stack * c_eff, bn), lambda i: (0, i),
                                memory_space=vm),
-        out_shape=jax.ShapeDtypeStruct((c_cnt, m_out), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((k2t, bm), jnp.float32)],
+        out_shape=jax.ShapeDtypeStruct((r_stack * c_eff, n_out), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((k_rows, bn), jnp.float32)],
         interpret=interpret,
-    )(xp, xp, gh, gl)
+    )(xq, xq, gh, gl)
 
 
-def am_chain_pallas(buf, kernel_bank, decimation, block_m=4096,
+def _pad_bank(kernel_np, c_eff):
+    """Pad a (2C, 2, T) bank with zero-tap channels up to (2*c_eff, 2, T)."""
+    k2c, two, t = kernel_np.shape
+    c_cnt = k2c // 2
+    if c_cnt == c_eff:
+        return kernel_np
+    out = np.zeros((2 * c_eff, two, t), kernel_np.dtype)
+    out[: 2 * c_cnt] = kernel_np
+    return out
+
+
+def _unstack(audio, c_eff, c_cnt, r_stack, m):
+    """(R*C_eff, M/R) r-major rows -> (C, M)."""
+    n_j = audio.shape[1]
+    a = audio.reshape(r_stack, c_eff, n_j)
+    a = jnp.transpose(a, (1, 2, 0)).reshape(c_eff, n_j * r_stack)
+    return a[:c_cnt, :m]
+
+
+def am_chain_pallas(buf, kernel_bank, decimation, block_n=2048,
                     precision="bf16x3", interpret=False):
     """Fused AM chain over a tail-prepended planar RF buffer.
 
@@ -152,213 +281,242 @@ def am_chain_pallas(buf, kernel_bank, decimation, block_m=4096,
     d = int(decimation)
     n = buf.shape[-1]
     m = (n - t) // d + 1
-    if not fused_chain_supported(d, t, m):
+    geom = _stack_geometry(c_cnt, t, d, m)
+    if geom is None:
         raise ValueError(f"unsupported (D={d}, T={t}, M={m}) for fused chain")
-    rows = 2 * d
-    p_cnt = t // d
-    bm = _pick_bm(m, block_m)
-    total_cols = m + _LANE
-    need = total_cols * d
-    xr = jnp.pad(buf.re, (0, max(0, need - n)))[:need]
-    xi = jnp.pad(buf.im, (0, max(0, need - n)))[:need]
-    xp = jnp.stack([xr.reshape(total_cols, d), xi.reshape(total_cols, d)],
-                   axis=-1).reshape(total_cols, rows).T
-
-    import ml_dtypes
-
-    g = _g_matrix_planes(kh, d)
-    if precision in ("bf16x3", "bf16x2"):
-        gh_np = g.astype(ml_dtypes.bfloat16)
-        gl_np = (g - gh_np.astype(np.float32)).astype(ml_dtypes.bfloat16)
-        gh, gl = jnp.asarray(gh_np), jnp.asarray(gl_np)
-        f32_dot = precision
-    else:
-        gh, gl = jnp.asarray(g), jnp.asarray(np.zeros_like(g))
-        f32_dot = "f32"
-    audio = _run_am(xp, gh, gl, block_m=bm, p_cnt=p_cnt, rows=rows,
-                    c_cnt=c_cnt, f32_dot=f32_dot, interpret=interpret)
-    return audio[:, :m]
+    c_eff, r_stack, groups, _ = geom
+    rows = r_stack * 2 * d
+    n_j = m // r_stack
+    bn = _pick_bn(n_j, block_n)
+    xq = _xq_prep(buf, d, r_stack, n_j + _LANE)
+    g = _g_matrix_stacked(_pad_bank(kh, c_eff), d, c_eff, r_stack, groups)
+    gh, gl, f32_dot = _split_g(g, precision)
+    audio = _run_am(xq, gh, gl, block_n=bn, groups=groups, rows=rows,
+                    c_eff=c_eff, r_stack=r_stack, f32_dot=f32_dot,
+                    interpret=interpret)
+    return _unstack(audio, c_eff, c_cnt, r_stack, m)
 
 
-def _fm_chain_kernel(xp_ref, halo_ref, gh_ref, gl_ref, base_ref, bt_ref,
+# ---------------------------------------------------------------------------
+# FM fused chain
+# ---------------------------------------------------------------------------
+
+def _fm_chain_kernel(xq_ref, halo_ref, gh_ref, gl_ref, base_ref, bt_ref,
                      pj_ref, spow_ref, jpow_ref, fcar0_ref, zcar0_ref,
                      audio_ref, fcar_ref, zcar_ref,
                      w_ref, carry_ref, *,
-                     p_cnt, rows, c_cnt, dec, gain, b0, cc, log_bm, f32_dot):
-    bm = audio_ref.shape[1]
+                     groups, rows, c_eff, r_stack, gain, b0, cc, a_pole,
+                     log_bn, f32_dot):
+    bn = audio_ref.shape[1]
     i = pl.program_id(0)
     n_i = pl.num_programs(0)
 
     # carry_ref cols: 0 = f_re, 1 = f_im (last filtered sample), 2 = z.
-    # Layout (C, 8) with channel in sublanes — every access is a plain 2D
-    # slice; no transposes (transpose relayouts of tiny tiles miscompiled
+    # Layout (C_eff, 8) with channel in sublanes — every access is a plain
+    # 2D slice; no transposes (transpose relayouts of tiny tiles miscompiled
     # on hardware while passing in interpret mode).
     @pl.when(i == 0)
     def _():
         carry_ref[:, 0:2] = fcar0_ref[:, :]
         carry_ref[:, 2:3] = zcar0_ref[:, :]
 
-    # ---- 1) windows + tap-bank contraction -------------------------------
-    y = _window_dot(xp_ref, halo_ref, gh_ref, gl_ref, w_ref, bm,
-                    p_cnt, rows, f32_dot)
-    y_re = y[:c_cnt, :]
-    y_im = y[c_cnt:, :]
+    # ---- 1) stacked windows + tap-bank contraction -----------------------
+    y = _window_dot(xq_ref, halo_ref, gh_ref, gl_ref, w_ref, bn,
+                    groups, rows, f32_dot)
 
     # ---- 2) LO rotor as a phasor product (no transcendentals) ------------
-    # lo(c, i*bm+j) = base(c) * blocktab(c, i) * pj(c, j): base carries the
-    # traced stream offset (computed outside the kernel), blocktab/pj are
-    # host-precomputed float64-accurate unit phasors.
+    # lo(c, (i*bn + J)*R + r) = base(c) * blocktab(c, i) * pj_r(c, J):
+    # base carries the traced stream offset (computed outside the kernel),
+    # blocktab/pj are host-precomputed float64-accurate unit phasors.
     bt_re = bt_ref[:, 0:1]   # block i's phasor pair (BlockSpec-selected)
     bt_im = bt_ref[:, 1:2]
     b_re = base_ref[:, 0:1] * bt_re - base_ref[:, 1:2] * bt_im   # (C, 1)
     b_im = base_ref[:, 0:1] * bt_im + base_ref[:, 1:2] * bt_re
-    lo_re = b_re * pj_ref[:c_cnt, :] - b_im * pj_ref[c_cnt:, :]
-    lo_im = b_re * pj_ref[c_cnt:, :] + b_im * pj_ref[:c_cnt, :]
-    f_re = y_re * lo_re - y_im * lo_im
-    f_im = y_re * lo_im + y_im * lo_re
+    f_res = []
+    f_ims = []
+    for r in range(r_stack):
+        row0 = r * 2 * c_eff
+        y_re = y[row0:row0 + c_eff, :]
+        y_im = y[row0 + c_eff:row0 + 2 * c_eff, :]
+        pj_re = pj_ref[row0:row0 + c_eff, :]
+        pj_im = pj_ref[row0 + c_eff:row0 + 2 * c_eff, :]
+        lo_re = b_re * pj_re - b_im * pj_im
+        lo_im = b_re * pj_im + b_im * pj_re
+        f_res.append(y_re * lo_re - y_im * lo_im)
+        f_ims.append(y_re * lo_im + y_im * lo_re)
 
     # ---- 3) discriminator with carried previous sample -------------------
-    prev_re = jnp.concatenate(
-        [carry_ref[:, 0:1], f_re[:, :bm - 1]], axis=1)
-    prev_im = jnp.concatenate(
-        [carry_ref[:, 1:2], f_im[:, :bm - 1]], axis=1)
-    m_re = f_re * prev_re + f_im * prev_im
-    m_im = f_im * prev_re - f_re * prev_im
+    # output j = J*R + r: previous sample is phase r-1 (same column), or
+    # phase R-1 shifted one column right for r = 0 (carried across blocks).
+    prev_res = [
+        jnp.concatenate([carry_ref[:, 0:1], f_res[r_stack - 1][:, :bn - 1]],
+                        axis=1)
+    ] + f_res[:r_stack - 1]
+    prev_ims = [
+        jnp.concatenate([carry_ref[:, 1:2], f_ims[r_stack - 1][:, :bn - 1]],
+                        axis=1)
+    ] + f_ims[:r_stack - 1]
+    m_re = jnp.concatenate(
+        [f_res[r] * prev_res[r] + f_ims[r] * prev_ims[r]
+         for r in range(r_stack)], axis=0)
+    m_im = jnp.concatenate(
+        [f_ims[r] * prev_res[r] - f_res[r] * prev_ims[r]
+         for r in range(r_stack)], axis=0)
     # jnp.arctan2 has no Mosaic lowering; polynomial atan2 (~1e-6 rad)
     from gsdr_tpu.kernels.kmath import atan2_poly
-    d = gain * atan2_poly(m_im, m_re)
+    d_all = gain * atan2_poly(m_im, m_re)   # (R*C_eff, bn), r-major rows
 
-    # ---- 4) de-emphasis (transposed DF-II) -------------------------------
-    # z[j] = cc*d[j] - a1*z[j-1]; y[j] = b0*d[j] + z[j-1]
-    acc = cc * d
-    for s_idx in range(log_bm):
+    # ---- 4) de-emphasis (transposed DF-II), (J, r)-decomposed ------------
+    # z[j] = cc*d[j] + a*z[j-1]; y[j] = b0*d[j] + z[j-1].  Per coarse
+    # column J: partial_r = sum_{k<=r} a^(r-k) cc d_k (unrolled fmas);
+    # column state zcol[J] = z[J*R + R-1] follows zcol[J] = a^R zcol[J-1]
+    # + partial_{R-1}[J] — one lane-scan with multiplier a^R.
+    partials = []
+    acc = None
+    for r in range(r_stack):
+        d_r = d_all[r * c_eff:(r + 1) * c_eff, :]
+        acc = cc * d_r if acc is None else a_pole * acc + cc * d_r
+        partials.append(acc)
+    u = partials[r_stack - 1]
+    # Hillis-Steele inclusive scan over J with multiplier a^R
+    zc = u
+    for s_idx in range(log_bn):
         s = 1 << s_idx
         shifted = jnp.concatenate(
-            [jnp.zeros((c_cnt, s), jnp.float32), acc[:, :bm - s]], axis=1)
-        acc = acc + spow_ref[0, s_idx] * shifted
+            [jnp.zeros((c_eff, s), jnp.float32), zc[:, :bn - s]], axis=1)
+        zc = zc + spow_ref[0, s_idx] * shifted
     z_init = carry_ref[:, 2:3]                        # (C, 1)
-    z = acc + z_init * jpow_ref[0:1, :]               # jpow[j] = a^{j+1}
-    z_shift = jnp.concatenate([z_init, z[:, :bm - 1]], axis=1)
-    audio = b0 * d + z_shift
-    audio_ref[:, :] = audio
+    zcol = zc + z_init * jpow_ref[0:1, :]             # jpow[J] = a^{R(J+1)}
+    zcol_shift = jnp.concatenate([z_init, zcol[:, :bn - 1]], axis=1)
+    a_r = 1.0
+    for r in range(r_stack):
+        d_r = d_all[r * c_eff:(r + 1) * c_eff, :]
+        if r == 0:
+            audio_r = b0 * d_r + zcol_shift
+        else:
+            audio_r = b0 * d_r + a_r * zcol_shift + partials[r - 1]
+        audio_ref[r * c_eff:(r + 1) * c_eff, :] = audio_r
+        a_r *= a_pole
 
     # ---- carries for the next sequential grid step -----------------------
-    carry_ref[:, 0:1] = f_re[:, bm - 1:bm]
-    carry_ref[:, 1:2] = f_im[:, bm - 1:bm]
-    carry_ref[:, 2:3] = z[:, bm - 1:bm]
+    carry_ref[:, 0:1] = f_res[r_stack - 1][:, bn - 1:bn]
+    carry_ref[:, 1:2] = f_ims[r_stack - 1][:, bn - 1:bn]
+    carry_ref[:, 2:3] = zcol[:, bn - 1:bn]
 
     # ---- export final streaming state ------------------------------------
     @pl.when(i == n_i - 1)
     def _():
-        fcar_ref[:, 0:1] = f_re[:, bm - 1:bm]
-        fcar_ref[:, 1:2] = f_im[:, bm - 1:bm]
-        zcar_ref[:, 0:1] = z[:, bm - 1:bm]
+        fcar_ref[:, 0:1] = f_res[r_stack - 1][:, bn - 1:bn]
+        fcar_ref[:, 1:2] = f_ims[r_stack - 1][:, bn - 1:bn]
+        zcar_ref[:, 0:1] = zcol[:, bn - 1:bn]
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("dec", "block_m", "p_cnt", "rows", "c_cnt", "gain",
-                     "b0", "cc", "a1", "f32_dot", "interpret"))
-def _run_chain(base, xp, gh, gl, bt, pj, fcar0, zcar0, *,
-               dec, block_m, p_cnt, rows, c_cnt, gain, b0, cc, a1,
+    static_argnames=("block_n", "groups", "rows", "c_eff", "r_stack",
+                     "gain", "b0", "cc", "a1", "f32_dot", "interpret"))
+def _run_chain(base, xq, gh, gl, bt, pj, fcar0, zcar0, *,
+               block_n, groups, rows, c_eff, r_stack, gain, b0, cc, a1,
                f32_dot, interpret):
-    _, mp = xp.shape
-    k2t = gh.shape[1]
-    m_out = mp - _LANE
-    bm = block_m
-    log_bm = int(np.log2(bm))
+    _, n_coarse_total = xq.shape
+    k_rows = gh.shape[1]
+    n_out = n_coarse_total - _LANE
+    bn = block_n
+    log_bn = int(np.log2(bn))
 
     a = -float(a1)
-    spow = np.zeros((1, _MAX_LOG_BM), np.float32)
-    for s in range(log_bm):
-        spow[0, s] = a ** (1 << s)
-    jpow = np.power(a, np.arange(1, bm + 1),
+    a_r_mult = float(a ** r_stack)
+    spow = np.zeros((1, _MAX_LOG_BN), np.float32)
+    for s in range(log_bn):
+        spow[0, s] = a_r_mult ** (1 << s)
+    jpow = np.power(a_r_mult, np.arange(1, bn + 1),
                     dtype=np.float64).astype(np.float32)[None, :]
 
     kernel = functools.partial(
-        _fm_chain_kernel, p_cnt=p_cnt, rows=rows, c_cnt=c_cnt, dec=dec,
-        gain=gain, b0=b0, cc=cc, log_bm=log_bm, f32_dot=f32_dot)
+        _fm_chain_kernel, groups=groups, rows=rows, c_eff=c_eff,
+        r_stack=r_stack, gain=gain, b0=b0, cc=cc, a_pole=a,
+        log_bn=log_bn, f32_dot=f32_dot)
 
-    n_blk = m_out // bm
+    n_blk = n_out // bn
     vm = pltpu.VMEM
     return pl.pallas_call(
         kernel,
         grid=(n_blk,),
         in_specs=[
-            pl.BlockSpec((rows, bm), lambda i: (0, i), memory_space=vm),
+            pl.BlockSpec((rows, bn), lambda i: (0, i), memory_space=vm),
             pl.BlockSpec((rows, _LANE),
-                         lambda i: (0, (i * bm) // _LANE + bm // _LANE),
+                         lambda i: (0, (i * bn) // _LANE + bn // _LANE),
                          memory_space=vm),
-            pl.BlockSpec((2 * c_cnt, k2t), lambda i: (0, 0), memory_space=vm),
-            pl.BlockSpec((2 * c_cnt, k2t), lambda i: (0, 0), memory_space=vm),
-            pl.BlockSpec((c_cnt, 2), lambda i: (0, 0), memory_space=vm),
-            pl.BlockSpec((c_cnt, _LANE), lambda i: (0, i),
+            pl.BlockSpec(gh.shape, lambda i: (0, 0), memory_space=vm),
+            pl.BlockSpec(gl.shape, lambda i: (0, 0), memory_space=vm),
+            pl.BlockSpec((c_eff, 2), lambda i: (0, 0), memory_space=vm),
+            pl.BlockSpec((c_eff, _LANE), lambda i: (0, i),
                          memory_space=vm),
-            pl.BlockSpec((2 * c_cnt, bm), lambda i: (0, 0), memory_space=vm),
-            pl.BlockSpec((1, _MAX_LOG_BM), lambda i: (0, 0), memory_space=vm),
-            pl.BlockSpec((1, bm), lambda i: (0, 0), memory_space=vm),
-            pl.BlockSpec((c_cnt, 2), lambda i: (0, 0), memory_space=vm),
-            pl.BlockSpec((c_cnt, 1), lambda i: (0, 0), memory_space=vm),
+            pl.BlockSpec((r_stack * 2 * c_eff, bn), lambda i: (0, 0),
+                         memory_space=vm),
+            pl.BlockSpec((1, _MAX_LOG_BN), lambda i: (0, 0), memory_space=vm),
+            pl.BlockSpec((1, bn), lambda i: (0, 0), memory_space=vm),
+            pl.BlockSpec((c_eff, 2), lambda i: (0, 0), memory_space=vm),
+            pl.BlockSpec((c_eff, 1), lambda i: (0, 0), memory_space=vm),
         ],
         out_specs=(
-            pl.BlockSpec((c_cnt, bm), lambda i: (0, i), memory_space=vm),
-            pl.BlockSpec((c_cnt, 2), lambda i: (0, 0), memory_space=vm),
-            pl.BlockSpec((c_cnt, 1), lambda i: (0, 0), memory_space=vm),
+            pl.BlockSpec((r_stack * c_eff, bn), lambda i: (0, i),
+                         memory_space=vm),
+            pl.BlockSpec((c_eff, 2), lambda i: (0, 0), memory_space=vm),
+            pl.BlockSpec((c_eff, 1), lambda i: (0, 0), memory_space=vm),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((c_cnt, m_out), jnp.float32),
-            jax.ShapeDtypeStruct((c_cnt, 2), jnp.float32),
-            jax.ShapeDtypeStruct((c_cnt, 1), jnp.float32),
+            jax.ShapeDtypeStruct((r_stack * c_eff, n_out), jnp.float32),
+            jax.ShapeDtypeStruct((c_eff, 2), jnp.float32),
+            jax.ShapeDtypeStruct((c_eff, 1), jnp.float32),
         ),
         scratch_shapes=[
-            pltpu.VMEM((k2t, bm), jnp.float32),
-            pltpu.VMEM((c_cnt, 8), jnp.float32),
+            pltpu.VMEM((k_rows, bn), jnp.float32),
+            pltpu.VMEM((c_eff, 8), jnp.float32),
         ],
         interpret=interpret,
-    )(xp, xp, gh, gl, base, bt, pj, jnp.asarray(spow), jnp.asarray(jpow),
+    )(xq, xq, gh, gl, base, bt, pj, jnp.asarray(spow), jnp.asarray(jpow),
       fcar0, zcar0)
 
 
-def fused_chain_supported(decimation, num_taps, m_out):
-    """T % D == 0, 2D sublane-aligned, and a power-of-two block divides M."""
-    return (num_taps % decimation == 0 and (2 * decimation) % _SUB == 0
-            and m_out % _LANE == 0)
+def _phasor_tables(shifts_hz, sample_rate, dec, r_stack, bn, n_blk):
+    """Host-exact unit-phasor rotor tables in the stacked layout:
 
-
-def _pick_bm(m, block_m):
-    bm = _LANE
-    while bm * 2 <= block_m and m % (bm * 2) == 0:
-        bm *= 2
-    return bm
-
-
-def _phasor_tables(shifts_hz, sample_rate, dec, bm, n_blk):
-    """Host-exact unit-phasor tables: pj (2C, bm) stacked [re; im] with
-    pj[c, j] = e^{2i pi frac(f_c * D * j / Fs)}, and bt (C, 2*n_blk) with
-    interleaved re/im of e^{2i pi frac(f_c * D * bm * i / Fs)}."""
+    pj (R*2C, bn), r-major row groups [re C; im C], with
+    pj[r-group][c, J] = e^{2i pi frac(f_c * D * (J*R + r) / Fs)}, and
+    bt (C, 128*n_blk) with lanes 0/1 of each 128-lane stripe holding
+    re/im of e^{2i pi frac(f_c * D * R * bn * i / Fs)}."""
     c_cnt = len(shifts_hz)
-    pj = np.zeros((2 * c_cnt, bm), np.float32)
+    pj = np.zeros((r_stack * 2 * c_cnt, bn), np.float32)
     # per-block phasor pair lives in its own 128-lane stripe (Mosaic block
     # shapes must be lane-128 aligned); lanes 0/1 hold re/im.
     bt = np.zeros((c_cnt, _LANE * n_blk), np.float32)
     fs = float(sample_rate)
     for c, f in enumerate(shifts_hz):
         f = float(f)
+        for r in range(r_stack):
+            if f.is_integer() and fs.is_integer():
+                fi, fsi = int(f), int(fs)
+                ang_j = 2.0 * np.pi * (
+                    (fi * dec * (np.arange(bn, dtype=object) * r_stack + r))
+                    % fsi
+                ).astype(np.float64) / fsi
+            else:
+                ang_j = 2.0 * np.pi * np.mod(
+                    f * dec * (np.arange(bn, dtype=np.float64) * r_stack + r),
+                    fs) / fs
+            pj[r * 2 * c_cnt + c] = np.cos(ang_j)
+            pj[r * 2 * c_cnt + c_cnt + c] = np.sin(ang_j)
         if f.is_integer() and fs.is_integer():
             fi, fsi = int(f), int(fs)
-            ang_j = 2.0 * np.pi * (
-                (fi * dec * np.arange(bm, dtype=object)) % fsi
-            ).astype(np.float64) / fsi
             ang_i = 2.0 * np.pi * (
-                (fi * dec * bm * np.arange(n_blk, dtype=object)) % fsi
+                (fi * dec * r_stack * bn * np.arange(n_blk, dtype=object))
+                % fsi
             ).astype(np.float64) / fsi
         else:
-            ang_j = 2.0 * np.pi * np.mod(
-                f * dec * np.arange(bm, dtype=np.float64), fs) / fs
             ang_i = 2.0 * np.pi * np.mod(
-                f * dec * bm * np.arange(n_blk, dtype=np.float64), fs) / fs
-        pj[c] = np.cos(ang_j)
-        pj[c_cnt + c] = np.sin(ang_j)
+                f * dec * r_stack * bn * np.arange(n_blk, dtype=np.float64),
+                fs) / fs
         bt[c, 0::_LANE] = np.cos(ang_i)
         bt[c, 1::_LANE] = np.sin(ang_i)
     return pj, bt
@@ -367,7 +525,7 @@ def _phasor_tables(shifts_hz, sample_rate, dec, bm, n_blk):
 def fm_chain_pallas(buf, kernel_bank, lo_table, n0_rot, decimation, gain,
                     deemph_b, deemph_a, carry_f, carry_z, shifts_hz=None,
                     sample_rate=None,
-                    block_m=4096, precision="bf16x3", interpret=False):
+                    block_n=2048, precision="bf16x3", interpret=False):
     """Run the fused chain over a tail-prepended planar RF buffer.
 
     Args:
@@ -382,6 +540,7 @@ def fm_chain_pallas(buf, kernel_bank, lo_table, n0_rot, decimation, gain,
       decimation, gain, deemph_b/deemph_a: static chain parameters.
       carry_f: planar (C, 1) previous filtered sample (discriminator halo).
       carry_z: (C, 1) de-emphasis TDF-II state.
+      block_n: coarse columns per grid step (R decimated outputs each).
 
     Returns (audio (C, M), new_carry_f, new_carry_z), M = (Nb - T)//D + 1,
     bit-compatible with the unfused FmChannelizer state pytree.
@@ -393,31 +552,17 @@ def fm_chain_pallas(buf, kernel_bank, lo_table, n0_rot, decimation, gain,
     d = int(decimation)
     n = buf.shape[-1]
     m = (n - t) // d + 1
-    if not fused_chain_supported(d, t, m):
+    geom = _stack_geometry(c_cnt, t, d, m)
+    if geom is None:
         raise ValueError(
             f"unsupported (D={d}, T={t}, M={m}) for fused chain")
-    rows = 2 * d
-    p_cnt = t // d
-    bm = _pick_bm(m, block_m)
-    total_cols = m + _LANE
-    need = total_cols * d
-    xr = jnp.pad(buf.re, (0, max(0, need - n)))[:need]
-    xi = jnp.pad(buf.im, (0, max(0, need - n)))[:need]
-    xp = jnp.stack([xr.reshape(total_cols, d), xi.reshape(total_cols, d)],
-                   axis=-1).reshape(total_cols, rows).T
-
-    import ml_dtypes
-
-    g = _g_matrix_planes(kh, d)
-    if precision in ("bf16x3", "bf16x2"):
-        gh_np = g.astype(ml_dtypes.bfloat16)
-        gl_np = (g - gh_np.astype(np.float32)).astype(ml_dtypes.bfloat16)
-        gh, gl = jnp.asarray(gh_np), jnp.asarray(gl_np)
-        f32_dot = precision
-    else:
-        gh = jnp.asarray(g)
-        gl = jnp.asarray(np.zeros_like(g))
-        f32_dot = "f32"
+    c_eff, r_stack, groups, _ = geom
+    rows = r_stack * 2 * d
+    n_j = m // r_stack
+    bn = _pick_bn(n_j, block_n)
+    xq = _xq_prep(buf, d, r_stack, n_j + _LANE)
+    g = _g_matrix_stacked(_pad_bank(kh, c_eff), d, c_eff, r_stack, groups)
+    gh, gl, f32_dot = _split_g(g, precision)
 
     b0 = float(deemph_b[0]) / float(deemph_a[0])
     b1 = float(deemph_b[1]) / float(deemph_a[0])
@@ -428,22 +573,30 @@ def fm_chain_pallas(buf, kernel_bank, lo_table, n0_rot, decimation, gain,
     # (XLA-side: C sin/cos evaluations, negligible)
     from gsdr_tpu.utils.phase import phase_fraction_from_table
 
-    table = jnp.asarray(np.asarray(lo_table, np.float32))
+    table = np.zeros((c_eff, np.asarray(lo_table).shape[1]), np.float32)
+    table[:c_cnt] = np.asarray(lo_table, np.float32)
     frac0 = phase_fraction_from_table(
-        jnp.asarray(n0_rot, jnp.int32).reshape(1), table[:, None, :])
-    theta0 = _TWO_PI * frac0  # (C, 1)
+        jnp.asarray(n0_rot, jnp.int32).reshape(1),
+        jnp.asarray(table)[:, None, :])
+    theta0 = _TWO_PI * frac0  # (C_eff, 1)
     base = jnp.concatenate(
-        [jnp.cos(theta0), jnp.sin(theta0)], axis=1)  # (C, 2)
+        [jnp.cos(theta0), jnp.sin(theta0)], axis=1)  # (C_eff, 2)
 
-    n_blk = m // bm
-    pj_np, bt_np = _phasor_tables(shifts_hz, sample_rate, d, bm, n_blk)
-    fcar0 = jnp.concatenate([carry_f.re, carry_f.im], axis=1)  # (C, 2)
+    n_blk = n_j // bn
+    shifts_eff = tuple(shifts_hz) + (0.0,) * (c_eff - c_cnt)
+    pj_np, bt_np = _phasor_tables(shifts_eff, sample_rate, d, r_stack, bn,
+                                  n_blk)
+    pad_c = [(0, c_eff - c_cnt), (0, 0)]
+    fcar0 = jnp.pad(
+        jnp.concatenate([carry_f.re, carry_f.im], axis=1), pad_c)
+    zcar0 = jnp.pad(jnp.asarray(carry_z), pad_c)
 
     audio, fcar, zcar = _run_chain(
-        base, xp, gh, gl, jnp.asarray(bt_np), jnp.asarray(pj_np),
-        fcar0, jnp.asarray(carry_z),
-        dec=d, block_m=bm, p_cnt=p_cnt, rows=rows, c_cnt=c_cnt,
+        base, xq, gh, gl, jnp.asarray(bt_np), jnp.asarray(pj_np),
+        fcar0, zcar0,
+        block_n=bn, groups=groups, rows=rows, c_eff=c_eff, r_stack=r_stack,
         gain=float(gain), b0=b0, cc=cc, a1=a1,
         f32_dot=f32_dot, interpret=interpret)
-    new_f = ComplexArray(fcar[:, 0:1], fcar[:, 1:2])
-    return audio[:, :m], new_f, zcar
+    new_f = ComplexArray(fcar[:c_cnt, 0:1], fcar[:c_cnt, 1:2])
+    return (_unstack(audio, c_eff, c_cnt, r_stack, m), new_f,
+            zcar[:c_cnt])

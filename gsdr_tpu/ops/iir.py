@@ -217,15 +217,41 @@ def iir_reference(b, a, x, zi=None):
     return y.reshape(batch_shape + (x.shape[-1],))
 
 
-def iir_sos(sos, x, block_len=128):
+def iir_sos_block(sos, x, zi=None, block_len=128):
+    """Cascade of second-order sections returning (y, final_state).
+
+    ``sos`` is (S, 6) scipy-style [b0 b1 b2 a0 a1 a2] rows. ``zi`` / the
+    returned state stack per-section transposed-DF-II states along a
+    LEADING axis: shape (S,) + batch + (2,) — so long streams keep exact
+    continuity section by section (the capability the reference's ignored
+    history pointers pretend to offer, include/gsdr/iir.h:74-75).
+    """
+    sos = jnp.asarray(sos)
+    n_sec = sos.shape[0]
+    y = x
+    zfs = []
+    for s in range(n_sec):
+        zi_s = None if zi is None else zi[s]
+        y, zf = iir_block(sos[s, :3], sos[s, 3:], y, zi=zi_s,
+                          block_len=block_len)
+        zfs.append(zf)
+    from gsdr_tpu.carray import is_planar as _is_planar
+    if zfs and _is_planar(zfs[0]):
+        from gsdr_tpu.carray import ComplexArray as _CA
+        zf_stack = _CA(jnp.stack([z.re for z in zfs], axis=0),
+                       jnp.stack([z.im for z in zfs], axis=0))
+    else:
+        zf_stack = jnp.stack(zfs, axis=0)
+    return y, zf_stack
+
+
+def iir_sos(sos, x, zi=None, block_len=128):
     """Cascade of second-order sections (numerically robust high-order IIR).
 
     ``sos`` is (S, 6) scipy-style [b0 b1 b2 a0 a1 a2] rows. The reference has
     no cascade API (high-order filters run as one monolithic recurrence);
     this is the conditioning upgrade recommended in SURVEY.md section 7.
+    Pass ``zi`` (see iir_sos_block) for streaming continuation.
     """
-    sos = jnp.asarray(sos)
-    y = jnp.asarray(x)
-    for s in range(sos.shape[0]):
-        y = iir(sos[s, :3], sos[s, 3:], y, block_len=block_len)
+    y, _ = iir_sos_block(sos, x, zi=zi, block_len=block_len)
     return y

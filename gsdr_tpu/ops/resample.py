@@ -79,6 +79,98 @@ def _phase_bank(taps, l, m):
     return kern.astype(np.float32), off0 - (q_cnt - 1), w
 
 
+def _as_planar(x):
+    """(planar ComplexArray, was_planar, was_complex) for any input kind."""
+    if is_planar(x):
+        return x, True, False
+    arr = jnp.asarray(x)
+    if jnp.iscomplexobj(arr):
+        return ComplexArray.from_complex(arr), False, True
+    return ComplexArray(arr.astype(jnp.float32),
+                        jnp.zeros(arr.shape, jnp.float32)), False, False
+
+
+def _resample_core(xp, kern, l, m):
+    """Stride-M phase-bank conv over an already-aligned planar buffer.
+
+    ``xp``: planar (..., N) whose position 0 is window position 0 (the
+    caller handles the start/pad alignment). Returns planar
+    (..., q_out * L) with q_out = (N - W)//M + 1 windows.
+    """
+    lead = xp.shape[:-1]
+    lhs = jnp.stack([xp.re, xp.im], axis=-2).reshape((-1, 2, xp.shape[-1]))
+    out = lax.conv_general_dilated(
+        lhs, jnp.asarray(kern),
+        window_strides=(m,), padding="VALID",
+        dimension_numbers=("NCH", "OIH", "NCH"),
+        preferred_element_type=jnp.float32,
+    )  # (B, 2L, Q_out)
+    q_out = out.shape[-1]
+    out = out.reshape(lead + (l, 2, q_out))
+    # interleave phases: y[q*L + r] = out[r, :, q]
+    out = jnp.moveaxis(out, -1, -3)          # (..., Q_out, L, 2)
+    out = out.reshape(lead + (q_out * l, 2))
+    return ComplexArray(out[..., 0], out[..., 1])
+
+
+class ResampleStream:
+    """Stateful L/M resampler: overlap-save input tail carried across blocks.
+
+    Feeding blocks ``x_0, x_1, ...`` produces exactly the output of
+    ``resample(concat(x_i), l, m)`` split at (varying) block boundaries —
+    no per-block zero-primed warmup transients and no cumulative length
+    drift (each block consumes a whole number of M-strided windows; the
+    remainder rides in the carried tail). Host-driven streaming: the tail
+    length varies by up to M-1 samples between blocks, so this wrapper is
+    for host loops (file/CLI pipelines), not for use inside jit — the conv
+    itself still runs on device.
+    """
+
+    def __init__(self, l, m, taps=None, taps_per_phase=16):
+        l, m = int(l), int(m)
+        g = np.gcd(l, m)
+        self.l, self.m = l // g, m // g
+        if taps is None:
+            taps = design_resampler_taps(self.l, self.m, taps_per_phase)
+        self.kern, start, self.w = _phase_bank(taps, self.l, self.m)
+        self._pad_l = max(0, -start)
+        self._trim = max(0, start)
+
+    def init(self, x_example):
+        """Initial state: the left-padding zeros as a primed tail plus the
+        number of leading input samples still to drop (one of the two is
+        always zero)."""
+        lead = x_example.shape[:-1] if hasattr(x_example, "shape") else ()
+        tail = ComplexArray.zeros(lead + (self._pad_l,))
+        return (tail, self._trim)
+
+    def step(self, state, x):
+        tail, trim = state
+        xp, was_planar, was_complex = _as_planar(x)
+        if trim:
+            drop = min(trim, xp.shape[-1])
+            xp = xp[..., drop:]
+            trim -= drop
+        buf = ComplexArray(
+            jnp.concatenate([tail.re, xp.re], axis=-1),
+            jnp.concatenate([tail.im, xp.im], axis=-1),
+        )
+        n = buf.shape[-1]
+        q = (n - self.w) // self.m + 1 if n >= self.w else 0
+        if q <= 0:
+            empty = ComplexArray.zeros(buf.shape[:-1] + (0,))
+            out = empty
+            new_tail = buf
+        else:
+            out = _resample_core(
+                buf[..., : (q - 1) * self.m + self.w], self.kern,
+                self.l, self.m)
+            new_tail = buf[..., q * self.m:]
+        if not was_planar:
+            out = out.to_complex() if was_complex else out.re
+        return (new_tail, trim), out
+
+
 def resample(x, l, m, taps=None, taps_per_phase=16):
     """Resample planar/real (..., N) by rational factor L/M.
 
@@ -96,39 +188,15 @@ def resample(x, l, m, taps=None, taps_per_phase=16):
         h = np.sinc(cutoff * n_) * np.hamming(t)
         taps = (h / h.sum()).astype(np.float32)
 
-    planar_in = is_planar(x)
-    xp = x if planar_in else None
-    if xp is None:
-        arr = jnp.asarray(x)
-        if jnp.iscomplexobj(arr):
-            xp = ComplexArray.from_complex(arr)
-        else:
-            xp = ComplexArray(arr.astype(jnp.float32),
-                              jnp.zeros(arr.shape, jnp.float32))
-
+    xp, was_planar, was_complex = _as_planar(x)
     kern, start, w = _phase_bank(taps, l, m)
-    n = xp.shape[-1]
-    lead = xp.shape[:-1]
     # shift input so window position 0 aligns with start (pad left if
     # start < 0; trim if > 0)
     pad_l = max(0, -start)
     trim = max(0, start)
     re = jnp.pad(xp.re, [(0, 0)] * (xp.ndim - 1) + [(pad_l, 0)])[..., trim:]
     im = jnp.pad(xp.im, [(0, 0)] * (xp.ndim - 1) + [(pad_l, 0)])[..., trim:]
-    lhs = jnp.stack([re, im], axis=-2).reshape((-1, 2, re.shape[-1]))
-    out = lax.conv_general_dilated(
-        lhs, jnp.asarray(kern),
-        window_strides=(m,), padding="VALID",
-        dimension_numbers=("NCH", "OIH", "NCH"),
-        preferred_element_type=jnp.float32,
-    )  # (B, 2L, Q_out)
-    q_out = out.shape[-1]
-    out = out.reshape(lead + (l, 2, q_out))
-    # interleave phases: y[q*L + r] = out[r, :, q]
-    out = jnp.moveaxis(out, -1, -3)          # (..., Q_out, L, 2)
-    out = out.reshape(lead + (q_out * l, 2))
-    res = ComplexArray(out[..., 0], out[..., 1])
-    if planar_in:
+    res = _resample_core(ComplexArray(re, im), kern, l, m)
+    if was_planar:
         return res
-    arr = jnp.asarray(x)
-    return res.to_complex() if jnp.iscomplexobj(arr) else res.re
+    return res.to_complex() if was_complex else res.re

@@ -56,6 +56,12 @@ class FmChannelizer:
 
     ``step(state, rf_block)`` takes a planar (N,) RF block (N % decimation
     == 0) and returns (state', audio (C, N/decimation) float32).
+
+    Phase continuity assumes integral sample_rate and integral channel
+    offsets (tuning - channel): n0 is reduced mod round(Fs), which is exact
+    only when frac(f*Fs/Fs) == 0 for every shift f (see MixerStream).
+    Non-integral offsets incur a frac(f)-cycle LO jump every Fs samples;
+    quantize offsets to 1 Hz to avoid it.
     """
 
     sample_rate: float

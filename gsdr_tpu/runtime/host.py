@@ -39,8 +39,11 @@ def _load():
         if _lib is not None or _build_failed:
             return _lib
         try:
-            if not os.path.exists(_SO_PATH):
-                _build()
+            # Always invoke make: it is a no-op when the .so is newer than
+            # the sources, and it guarantees the loaded binary was built on
+            # THIS machine (the .so is never committed; a foreign-arch
+            # binary built with -march=native could SIGILL).
+            _build()
             lib = ctypes.CDLL(_SO_PATH)
         except (OSError, subprocess.SubprocessError):
             _build_failed = True

@@ -65,6 +65,13 @@ class MixerStream:
     State is the global sample offset reduced mod sample_rate (int32) — the
     functional form of the reference's firstSampleIndex-mod-Fs contract
     (src/am.cu:67), carried by the framework instead of the caller.
+
+    Phase-continuity caveat: reducing the offset mod round(Fs) is exact
+    only for integral Fs and integral shift frequencies (frac(f*(n+Fs)/Fs)
+    == frac(f*n/Fs) requires f*Fs/Fs integral). With a non-integral shift
+    frequency the LO phase jumps by frac(f) cycles every Fs samples; quantize
+    such frequencies to 1 Hz (negligible for RF channel offsets) or scale
+    Fs/f to an integral pair before constructing the stream.
     """
 
     freq_shift_hz: float
@@ -156,6 +163,30 @@ class IirStream:
         b = jnp.asarray(self.b, jnp.float32)
         a = jnp.asarray(self.a, jnp.float32)
         y, zf = iir_block(b, a, x, zi=state, block_len=self.block_len)
+        return zf, y
+
+
+@dataclass(frozen=True)
+class SosStream:
+    """Streaming cascade of second-order sections.
+
+    State stacks each section's transposed-DF-II state on a leading axis
+    (shape (S,) + batch + (2,)); block-split output equals single-shot
+    iir_sos exactly, like IirStream but numerically robust at high order."""
+
+    sos: tuple  # ((b0, b1, b2, a0, a1, a2), ...) rows
+    block_len: int = 128
+
+    def init(self, x_example):
+        lead = x_example.shape[:-1]
+        return _zeros_like_block(
+            x_example, (len(self.sos),) + lead + (2,))
+
+    def step(self, state, x):
+        from gsdr_tpu.ops.iir import iir_sos_block
+
+        sos = jnp.asarray(self.sos, jnp.float32)
+        y, zf = iir_sos_block(sos, x, zi=state, block_len=self.block_len)
         return zf, y
 
 

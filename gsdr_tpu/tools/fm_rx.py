@@ -70,14 +70,24 @@ def main(argv=None):
     if args.audio_rate:
         from fractions import Fraction
 
-        from gsdr_tpu.ops.resample import resample
+        from gsdr_tpu.ops.resample import ResampleStream
 
         frac = Fraction(int(round(args.audio_rate)),
                         int(round(model.audio_rate))).limit_denominator(512)
         l_up, m_down = frac.numerator, frac.denominator
 
+        # Stateful: the carried input tail makes block boundaries seamless
+        # (a per-block stateless resample would re-incur the filter warmup
+        # transient and drop samples at every boundary).
+        rs = ResampleStream(l_up, m_down)
+        rs_state = None
+
         def resamp(audio):
-            return resample(audio, l_up, m_down)
+            nonlocal rs_state
+            if rs_state is None:
+                rs_state = rs.init(audio)
+            rs_state, out = rs.step(rs_state, audio)
+            return out
 
         print(f"resampling audio {model.audio_rate:.0f} -> "
               f"{model.audio_rate * l_up / m_down:.0f} Hz (L/M = "

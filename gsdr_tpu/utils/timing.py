@@ -31,13 +31,23 @@ def time_step(step, state, block, iters=20, reps=3):
     over ``iters`` chained executions.
     """
 
+    if iters < 2:
+        raise ValueError("iters must be >= 2 (one iteration is consumed by "
+                         "the overhead subtraction)")
+
+    def _leaf_sum(out):
+        # Sum a scalar contribution from EVERY output leaf so no leaf's
+        # computation can be dead-code-eliminated inside the jitted loop.
+        total = jnp.float32(0.0)
+        for leaf in jax.tree_util.tree_leaves(out):
+            total = total + jnp.sum(leaf[..., :1]).astype(jnp.float32)
+        return total
+
     def k_steps(state, block):
         def body(carry, _):
             st, checksum = carry
             st, out = step(st, block)
-            leaves = jax.tree_util.tree_leaves(out)
-            checksum = checksum + jnp.sum(leaves[0][..., :1])
-            return (st, checksum), None
+            return (st, checksum + _leaf_sum(out)), None
 
         (st, checksum), _ = lax.scan(
             body, (state, jnp.float32(0.0)), None, length=iters)
@@ -54,16 +64,22 @@ def time_step(step, state, block, iters=20, reps=3):
     times.sort()
     med = times[len(times) // 2]
 
-    # fixed dispatch/fetch overhead: a 1-step program of the same shape
+    # fixed dispatch/fetch overhead: a 1-step program of the same shape.
+    # Median of max(reps, 3) probes — a single probe on a backend with
+    # ±10-30% run-to-run variance would shift the result several percent.
     def one_step(state, block):
         st, out = step(state, block)
-        return jnp.sum(jax.tree_util.tree_leaves(out)[0][..., :1])
+        return _leaf_sum(out)
 
     run1 = jax.jit(one_step)
     _ = float(run1(state, block))
-    t0 = time.perf_counter()
-    _ = float(run1(state, block))
-    overhead_plus_one = time.perf_counter() - t0
+    otimes = []
+    for _ in range(max(reps, 3)):
+        t0 = time.perf_counter()
+        _ = float(run1(state, block))
+        otimes.append(time.perf_counter() - t0)
+    otimes.sort()
+    overhead_plus_one = otimes[len(otimes) // 2]
 
     per_iter = (med - overhead_plus_one) / (iters - 1)
     return max(per_iter, 1e-9)

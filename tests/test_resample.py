@@ -91,3 +91,45 @@ def test_identity_when_l_equals_m():
     y = resample(x, 7, 7).to_numpy()  # reduces to 1/1: pure FIR delay
     # energy preserved through the (unit-DC) prototype
     assert abs(np.std(y[50:-50]) / np.std(z) - 1.0) < 0.15
+
+
+def test_resample_stream_matches_batch():
+    """Feeding blocks through ResampleStream == one-shot resample of the
+    concatenation: no per-block warmup transients, no length drift."""
+    from gsdr_tpu.ops.resample import ResampleStream
+
+    for l, m in ((24, 125), (3, 2), (1, 4), (48, 7)):
+        z = (RNG.standard_normal(3000) + 1j * RNG.standard_normal(3000))
+        x = ComplexArray.from_complex(z.astype(np.complex64))
+        full = np.asarray(resample(x, l, m).to_numpy())
+
+        rs = ResampleStream(l, m)
+        state = rs.init(x)
+        pieces = []
+        # deliberately awkward block sizes (not multiples of M)
+        bounds = [0, 777, 1000, 1501, 2203, 3000]
+        for a, b in zip(bounds[:-1], bounds[1:]):
+            state, out = rs.step(state, x[..., a:b])
+            pieces.append(np.asarray(out.to_numpy()))
+        streamed = np.concatenate(pieces)
+        n = min(len(full), len(streamed))
+        assert n >= len(full) - l  # at most one trailing window pending
+        np.testing.assert_allclose(streamed[:n], full[:n],
+                                   rtol=1e-5, atol=1e-5)
+
+
+def test_resample_stream_real_channels():
+    from gsdr_tpu.ops.resample import ResampleStream
+
+    x = RNG.standard_normal((2, 2048)).astype(np.float32)
+    rs = ResampleStream(24, 125)
+    state = rs.init(jnp.asarray(x))
+    outs = []
+    for a, b in ((0, 700), (700, 1300), (1300, 2048)):
+        state, y = rs.step(state, jnp.asarray(x[:, a:b]))
+        outs.append(np.asarray(y))
+    streamed = np.concatenate(outs, axis=-1)
+    full = np.asarray(resample(jnp.asarray(x), 24, 125))
+    n = min(full.shape[-1], streamed.shape[-1])
+    np.testing.assert_allclose(streamed[:, :n], full[:, :n],
+                               rtol=1e-5, atol=1e-5)
