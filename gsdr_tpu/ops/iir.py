@@ -37,6 +37,8 @@ f32 composition is well-conditioned; for high orders prefer iir_sos
 
 import functools
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
 from jax import lax
@@ -139,8 +141,27 @@ def _iir_1d(b, a, x, zi, block_len):
     return y.reshape(-1)[:n], z_final
 
 
-@functools.partial(jax.jit, static_argnames=("block_len",))
-def iir_block(b, a, x, zi=None, block_len=128):
+def _pallas_dispatchable(b, a, x, impl):
+    """True when the pole-diagonalized Pallas kernel should take this call:
+    concrete coefficients, 1-D signal, TPU backend (or impl forced)."""
+    if impl == "xla":
+        return False
+    if isinstance(b, jax.core.Tracer) or isinstance(a, jax.core.Tracer):
+        return False
+    from gsdr_tpu.carray import is_planar
+
+    ndim = x.ndim if (is_planar(x) or hasattr(x, "ndim")) else \
+        np.asarray(x).ndim
+    if ndim != 1:
+        return False
+    if impl != "pallas" and jax.default_backend() == "cpu":
+        return False
+    from gsdr_tpu.kernels.iir_pallas import iir_pallas_supported
+
+    return iir_pallas_supported(np.asarray(b), np.asarray(a))
+
+
+def iir_block(b, a, x, zi=None, block_len=128, impl="auto"):
     """IIR filter returning (y, final_state) for streaming continuation.
 
     ``zi`` / the returned state are transposed-DF-II state vectors of length
@@ -150,13 +171,37 @@ def iir_block(b, a, x, zi=None, block_len=128):
     real coefficients (the gsdrIirCC capability — its coefficients are float,
     include/gsdr/iir.h:91-92) filters the two planes independently, which is
     exact by linearity.
+
+    ``impl``: 'auto' routes 1-D signals with concrete order-<=8 coefficients
+    through the pole-diagonalized Pallas kernel on TPU
+    (kernels/iir_pallas.py — removes the sequential-scan bottleneck);
+    'xla'/'pallas' force a path.
     """
+    import numpy as _np
+
+    if _pallas_dispatchable(b, a, x, impl):
+        from gsdr_tpu.carray import ComplexArray, is_planar
+        from gsdr_tpu.kernels.iir_pallas import iir_pallas
+
+        bb, aa = _np.asarray(b, _np.float64), _np.asarray(a, _np.float64)
+        if is_planar(x):
+            yr, zr = iir_pallas(bb, aa, x.re, zi=None if zi is None else zi.re)
+            yi, zim = iir_pallas(bb, aa, x.im,
+                                 zi=None if zi is None else zi.im)
+            return ComplexArray(yr, yi), ComplexArray(zr, zim)
+        return iir_pallas(bb, aa, x, zi=zi)
+    return _iir_block_xla(b, a, x, zi=zi, block_len=block_len)
+
+
+@functools.partial(jax.jit, static_argnames=("block_len",))
+def _iir_block_xla(b, a, x, zi=None, block_len=128):
+    """Exact blocked-parallel-scan path (module docstring algorithm)."""
     from gsdr_tpu.carray import ComplexArray, is_planar
 
     if is_planar(x):
         xs = jnp.stack([x.re, x.im], axis=0)
         zis = None if zi is None else jnp.stack([zi.re, zi.im], axis=0)
-        y, zf = iir_block(b, a, xs, zi=zis, block_len=block_len)
+        y, zf = _iir_block_xla(b, a, xs, zi=zis, block_len=block_len)
         return ComplexArray(y[0], y[1]), ComplexArray(zf[0], zf[1])
 
     x = jnp.asarray(x)
@@ -178,13 +223,13 @@ def iir_block(b, a, x, zi=None, block_len=128):
     )
 
 
-def iir(b, a, x, zi=None, block_len=128):
+def iir(b, a, x, zi=None, block_len=128, impl="auto"):
     """Exact IIR filter along the last axis (covers gsdrIirFF/CC/Custom).
 
     ``block_len`` is a performance knob only (the reference's
     samplesPerThread analog); results are exact for any value.
     """
-    y, _ = iir_block(b, a, x, zi=zi, block_len=block_len)
+    y, _ = iir_block(b, a, x, zi=zi, block_len=block_len, impl=impl)
     return y
 
 
