@@ -1,0 +1,124 @@
+"""QPSK256 nearest-neighbor demodulation as a Pallas TPU kernel.
+
+The XLA path (ops/qpsk256.qpsk256_demodulate) materializes the (N, 256)
+score matrix in HBM — measured 60.5 Msym/s (BASELINE.md round 1), the one
+op where the TPU build plausibly lost to the reference GPU's
+constant-memory loop (/root/reference/src/qpsk256.cu:154-195). Here the
+score matrix never leaves VMEM: the 256-point table is resident, each
+grid step demodulates 4 x BN symbols, and only the winning indices are
+written back.
+
+Per chunk (one (1, BN) row pair of the block):
+
+    S (256, BN) = |C|^2 - 2 (C_re x_re + C_im x_im)    -- VPU broadcasts
+    mn          = min over points                       (sublane reduce)
+    idx         = min over points of where(S == mn, i, 256)
+
+The two-reduction idx extraction keeps the reference's tie-break (strict
+<, i.e. lowest index wins, src/qpsk256.cu:186) without needing an argmin
+lowering. Works for ANY 256-point constellation — circular included,
+where no O(1) arithmetic inverse exists (the rectangular grid has one:
+ops/qpsk256.qpsk256_demodulate_rect).
+"""
+
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_LANE = 128
+_SUB = 8
+_NPTS = 256
+_CHUNKS = 4  # sample-chunks per (8, BN) block: rows 2k/2k+1 = re/im
+
+
+def _demod_kernel(x_ref, c_ref, out_ref, *, bn):
+    xb = x_ref[:, :]
+    c_re = c_ref[:, 0:1]      # (256, 1)
+    c_im = c_ref[:, 1:2]
+    c_a2 = c_ref[:, 2:3]
+    pt_idx = jax.lax.broadcasted_iota(
+        jnp.float32, (_NPTS, bn), 0)  # exact for values < 2^24
+    rows = []
+    for k in range(_CHUNKS):
+        x_re = xb[2 * k:2 * k + 1, :]       # (1, BN)
+        x_im = xb[2 * k + 1:2 * k + 2, :]
+        s = c_a2 - 2.0 * (c_re * x_re + c_im * x_im)   # (256, BN)
+        mn = jnp.min(s, axis=0, keepdims=True)
+        cand = jnp.where(s <= mn, pt_idx, float(_NPTS))
+        idx = jnp.min(cand, axis=0, keepdims=True)     # lowest-index tie
+        rows.append(idx)
+        rows.append(idx)
+    out_ref[:, :] = jnp.concatenate(rows, axis=0).astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("bn", "interpret"))
+def _run(x8, ctab, *, bn, interpret):
+    n_cols = x8.shape[1]
+    kernel = functools.partial(_demod_kernel, bn=bn)
+    vm = pltpu.VMEM
+    return pl.pallas_call(
+        kernel,
+        grid=(n_cols // bn,),
+        in_specs=[
+            pl.BlockSpec((_SUB, bn), lambda i: (0, i), memory_space=vm),
+            pl.BlockSpec((_NPTS, _LANE), lambda i: (0, 0), memory_space=vm),
+        ],
+        out_specs=pl.BlockSpec((_SUB, bn), lambda i: (0, i),
+                               memory_space=vm),
+        out_shape=jax.ShapeDtypeStruct((_SUB, n_cols), jnp.int32),
+        interpret=interpret,
+    )(x8, ctab)
+
+
+def _ctab(constellation_np):
+    """(256,) complex -> (256, 128) float32: lanes 0/1/2 = re/im/|c|^2."""
+    t = np.zeros((_NPTS, _LANE), np.float32)
+    t[:, 0] = constellation_np.real
+    t[:, 1] = constellation_np.imag
+    t[:, 2] = (constellation_np.real.astype(np.float64) ** 2
+               + constellation_np.imag.astype(np.float64) ** 2)
+    return t
+
+
+def qpsk256_demodulate_pallas(x, constellation, out_dtype=jnp.int32,
+                              block_n=2048, interpret=False):
+    """Nearest-neighbor demod with a VMEM-resident table.
+
+    ``x``: planar ComplexArray (..., N). ``constellation``: concrete
+    256-point table (numpy/jnp complex, or planar). Returns symbol indices
+    shaped like ``x`` — bit-identical decisions to qpsk256_demodulate
+    (same score arithmetic, same lowest-index tie-break).
+    """
+    from gsdr_tpu.carray import ComplexArray, is_planar
+
+    interpret = interpret or jax.default_backend() == "cpu"
+    if is_planar(constellation):
+        cnp = (np.asarray(constellation.re)
+               + 1j * np.asarray(constellation.im))
+    else:
+        cnp = np.asarray(constellation)
+    if cnp.shape != (_NPTS,):
+        raise ValueError("constellation must have 256 points")
+    xp = x if is_planar(x) else ComplexArray.from_complex(jnp.asarray(x))
+    shape = xp.shape
+    xr = xp.re.reshape(-1)
+    xi = xp.im.reshape(-1)
+    n = xr.shape[0]
+    bn = int(block_n)
+    tile = _CHUNKS * bn
+    npad = -(-max(n, 1) // tile) * tile
+    xr = jnp.pad(xr, (0, npad - n))
+    xi = jnp.pad(xi, (0, npad - n))
+    quarter = npad // _CHUNKS
+    # rows 2k/2k+1 = re/im of contiguous quarter k
+    x8 = jnp.stack([xr.reshape(_CHUNKS, quarter),
+                    xi.reshape(_CHUNKS, quarter)],
+                   axis=1).reshape(2 * _CHUNKS, quarter)
+    out = _run(x8, jnp.asarray(_ctab(cnp)), bn=bn, interpret=interpret)
+    sym = out[0::2, :].reshape(-1)[:n]
+    return sym.reshape(shape).astype(out_dtype)

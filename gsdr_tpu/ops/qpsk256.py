@@ -23,6 +23,7 @@ index, like the reference's strict < comparison.
 """
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from gsdr_tpu.carray import ComplexArray, is_planar
@@ -123,14 +124,28 @@ def qpsk256_demodulate_rect(x, amplitude=1.0, out_dtype=jnp.uint8):
     return sym.astype(out_dtype)
 
 
-def qpsk256_demodulate(x, constellation, out_dtype=jnp.uint8):
+def qpsk256_demodulate(x, constellation, out_dtype=jnp.uint8, impl="auto"):
     """Complex samples (..., N) -> nearest-constellation symbol values.
 
-    One MXU matmul + argmin instead of the reference's exhaustive per-sample
-    loop (src/qpsk256.cu:154-195). Pass ``out_dtype=jnp.int32`` on the TPU
-    path (no uint8 at executable boundaries there). For the rectangular
-    geometry prefer qpsk256_demodulate_rect (exact, O(1) per sample).
+    Replaces the reference's exhaustive per-sample loop
+    (src/qpsk256.cu:154-195). On TPU with a concrete table, ``impl='auto'``
+    routes through the VMEM-resident Pallas kernel
+    (kernels/qpsk256_pallas.py — the (N, 256) score matrix never touches
+    HBM); otherwise one matmul + argmin in XLA. Pass
+    ``out_dtype=jnp.int32`` on the TPU path (no uint8 at executable
+    boundaries there). For the rectangular geometry prefer
+    qpsk256_demodulate_rect (exact, O(1) per sample).
     """
+    concrete_table = not isinstance(
+        constellation.re if is_planar(constellation) else constellation,
+        jax.core.Tracer)
+    if impl == "pallas" or (
+            impl == "auto" and concrete_table
+            and jax.default_backend() != "cpu"):
+        from gsdr_tpu.kernels.qpsk256_pallas import qpsk256_demodulate_pallas
+
+        return qpsk256_demodulate_pallas(x, constellation,
+                                         out_dtype=out_dtype)
     xp = x if is_planar(x) else ComplexArray.from_complex(jnp.asarray(x))
     cp = constellation if is_planar(constellation) else \
         ComplexArray.from_complex(jnp.asarray(constellation))
