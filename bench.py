@@ -44,12 +44,41 @@ ROOFLINE_MSPS = F32_PEAK_FLOPS / FLOP_PER_SAMPLE / 1e6
 TARGET_MSPS = 0.9 * ROOFLINE_MSPS
 
 
+def _fm_signal(model, n, seed=7):
+    """Real FM carriers on the model's channels. Accuracy comparisons need
+    bounded discriminator phase steps — white noise puts samples on the
+    atan2 +-pi branch cut where two correct implementations may differ by
+    2*pi (CLAUDE.md testing note)."""
+    r = np.random.default_rng(seed)
+    t = np.arange(n) / model.sample_rate
+    sig = np.zeros(n, np.complex128)
+    for k, f in enumerate(model.channel_frequencies):
+        msg = np.sin(2 * np.pi * (700.0 + 370.0 * k) * t + r.uniform(0, 6))
+        sig += (0.5 / len(model.channel_frequencies)) * np.exp(
+            1j * (2 * np.pi * f * t + 0.35 * msg))
+    return ComplexArray(
+        jnp.asarray(sig.real, jnp.float32), jnp.asarray(sig.imag, jnp.float32))
+
+
+def hw_accuracy_check(model_pallas, model_xla, n=1 << 18):
+    """Fused-vs-XLA max relative audio error on THIS backend (the on-HW
+    accuracy gate: interpret-mode tests have twice missed hardware-only
+    Mosaic behaviors — tiny-tile transpose miscompile, bf16 rounding)."""
+    rf = _fm_signal(model_xla, n)
+    _, y_x = jax.jit(model_xla.step)(model_xla.init(), rf)
+    _, y_p = jax.jit(model_pallas.step)(model_pallas.init(), rf)
+    y_x = np.asarray(y_x)
+    y_p = np.asarray(y_p)
+    scale = float(np.max(np.abs(y_x)))
+    skip = 256  # zero-primed warmup + de-emphasis settle
+    return float(np.max(np.abs(y_x[:, skip:] - y_p[:, skip:])) / scale)
+
+
 def main():
     import dataclasses
-    model = dataclasses.replace(
-        _model(num_channels=N_CHANNELS, num_taps=N_TAPS,
-               decimation=DECIMATION),
-        impl="pallas")  # fused single-kernel chain (kernels/fm_chain_pallas)
+    model_xla = _model(num_channels=N_CHANNELS, num_taps=N_TAPS,
+                       decimation=DECIMATION)
+    model = dataclasses.replace(model_xla, impl="pallas")  # fused kernel
     rng = np.random.default_rng(0)
     rf = ComplexArray(
         jnp.asarray(rng.standard_normal(N_SAMPLES), jnp.float32),
@@ -58,11 +87,13 @@ def main():
     state = model.init()
     sec = time_step(model.step, state, rf, iters=ITERS)
     msps = N_SAMPLES / sec / 1e6
+    err = hw_accuracy_check(model, model_xla)
     print(json.dumps({
         "metric": "fm_channelizer_16ch_64tap_dec4_input_msps",
         "value": round(msps, 2),
         "unit": "Msamples/s",
         "vs_baseline": round(msps / TARGET_MSPS, 4),
+        "hw_max_rel_err": round(err, 6),
     }))
 
 

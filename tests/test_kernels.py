@@ -68,8 +68,7 @@ class TestChannelizePallas:
 
 
 class TestFusedFmChain:
-    def _models(self, nch=4):
-        import dataclasses
+    def _models(self, nch=4, decimation=4):
         from gsdr_tpu.pipelines import FmChannelizer
 
         def lowpass(nt, cf):
@@ -81,8 +80,8 @@ class TestFusedFmChain:
             sample_rate=FS, tuning_frequency=0.0,
             channel_frequencies=tuple(
                 100_000.0 + 61_000.0 * i for i in range(nch)),
-            frequency_deviation=75_000.0, decimation=4,
-            low_pass_taps=lowpass(64, 0.04),
+            frequency_deviation=75_000.0, decimation=decimation,
+            low_pass_taps=lowpass(64, min(0.04, 0.4 / decimation)),
         )
         import dataclasses as dc
         return m, dc.replace(m, impl="pallas")
@@ -126,6 +125,25 @@ class TestFusedFmChain:
         scale = np.max(np.abs(np.asarray(y_ref)))
         assert np.max(
             np.abs(np.asarray(y_cont) - np.asarray(y_ref))) / scale < 5e-3
+
+    @pytest.mark.parametrize("decimation", [1, 2, 8])
+    def test_decimation_coverage(self, decimation):
+        """Round-2 gap closure: D in {1, 2} run fused (round 1 required
+        2D % 8 == 0, /root/reference/src/fir.cu:85-93 has a dedicated
+        D == 1 path); D == 8 exercises R == 1-adjacent geometry."""
+        m_xla, m_pal = self._models(nch=4, decimation=decimation)
+        n = 8192
+        rf = self._fm_rf(m_xla, n, seed=decimation)
+        st_x, st_p = m_xla.init(), m_pal.init()
+        for blk, skip in ((0, 512 // decimation + 8), (1, 0)):
+            part = rf[..., blk * (n // 2):(blk + 1) * (n // 2)]
+            st_x, y_x = m_xla.step(st_x, part)
+            st_p, y_p = m_pal.step(st_p, part)
+            y_x, y_p = np.asarray(y_x), np.asarray(y_p)
+            scale = np.max(np.abs(y_x))
+            assert np.max(
+                np.abs(y_x[:, skip:] - y_p[:, skip:])) / scale < 2e-3, \
+                (decimation, blk)
 
     def test_nonzero_first_sample_index(self):
         m_xla, m_pal = self._models(nch=2)
