@@ -76,9 +76,10 @@ def hw_accuracy_check(model_pallas, model_xla, n=1 << 18):
 
 def main():
     import dataclasses
-    model_xla = _model(num_channels=N_CHANNELS, num_taps=N_TAPS,
-                       decimation=DECIMATION)
-    model = dataclasses.replace(model_xla, impl="pallas")  # fused kernel
+    base = _model(num_channels=N_CHANNELS, num_taps=N_TAPS,
+                  decimation=DECIMATION)
+    model_xla = dataclasses.replace(base, impl="xla")
+    model = dataclasses.replace(base, impl="pallas")  # fused kernel
     rng = np.random.default_rng(0)
     rf = ComplexArray(
         jnp.asarray(rng.standard_normal(N_SAMPLES), jnp.float32),

@@ -56,12 +56,13 @@ def bench_shift_fir(n, iters):
     taps = jnp.asarray(_lowpass(64, 0.1))
 
     def step(state, x):
-        mixed = freq_shift(x, 12_345.0, 1e6)
+        # loop-carried dependence defeats hoisting (timing.py docstring)
+        mixed = freq_shift(x + state, 12_345.0, 1e6)
         y = fir(mixed, taps, 4)
-        return state, y
+        return (jnp.sum(y.re) + jnp.sum(y.im)) * 1e-30, y
 
     rf = _noise(n)
-    sec = time_step(step, jnp.zeros(()), rf, iters=iters)
+    sec = time_step(step, jnp.float32(0.0), rf, iters=iters)
     return {"metric": "shift_fir64_dec4_input_msps",
             "value": round(n / sec / 1e6, 2), "unit": "Msamples/s"}
 
@@ -97,7 +98,8 @@ def bench_qpsk(n, iters):
         im_t = jnp.array([1.0, 1.0, -1.0, -1.0], jnp.float32)
         s = ComplexArray(re_t[d], im_t[d])
         out = qpsk_demodulate_symbols(s)
-        return state + out[0].astype(jnp.float32), out
+        # full-output dependence: out[0]-only let XLA demodulate ONE symbol
+        return (jnp.sum(out) % 1021).astype(jnp.float32), out
 
     sec = time_step(step, jnp.zeros(()), data, iters=iters)
     return {"metric": "qpsk_loopback_msym_s",
@@ -114,11 +116,31 @@ def bench_qpsk256(n, iters):
         s = (s + state.astype(jnp.int32)) % 256
         tx = modem.tx(s)
         out = modem.rx(tx)
-        return state + out[0].astype(jnp.float32), out
+        return (jnp.sum(out) % 1021).astype(jnp.float32), out
 
     sec = time_step(step, jnp.zeros(()), syms, iters=iters)
     return {"metric": "qpsk256_loopback_msym_s",
             "value": round(n / sec / 1e6, 2), "unit": "Msymbols/s"}
+
+
+def bench_iir(n, iters, impl="auto"):
+    """Standalone IIR biquad (the reference's flagship op,
+    /root/reference/src/iir.cu) — impl='auto' is the pole-diagonalized
+    Pallas kernel on TPU, the exact blocked scan elsewhere."""
+    from gsdr_tpu.ops.iir import iir_block
+
+    b = np.array([0.0675, 0.135, 0.0675], np.float32)
+    a = np.array([1.0, -1.143, 0.413], np.float32)
+    x = jnp.asarray(
+        np.random.default_rng(0).standard_normal(n).astype(np.float32))
+
+    def step(state, xx):
+        y, zf = iir_block(b, a, xx + state * 1e-30, impl=impl)
+        return zf[0], y
+
+    sec = time_step(step, jnp.float32(0.0), x, iters=iters)
+    return {"metric": f"iir_biquad_{impl}_msps",
+            "value": round(n / sec / 1e6, 2), "unit": "Msamples/s"}
 
 
 def main(argv=None):
@@ -137,6 +159,7 @@ def main(argv=None):
         bench_fm(n, iters, impl="pallas", nch=64),
         bench_qpsk(n, iters),
         bench_qpsk256(min(n, 1 << 19), iters),
+        bench_iir(n, iters),
     ]
     for r in results:
         r["backend"] = jax.default_backend()

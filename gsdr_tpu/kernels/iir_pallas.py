@@ -188,15 +188,22 @@ def _iir_kernel(*refs, bn, log_bn, pairs, b0, inj_r, inj_l):
     new_carry = []
     for k, (p, w, q, wgt) in enumerate(pairs):
         pr, pim = float(p.real), float(p.imag)
-        c_re = carry_ref[0:1, 2 * k:2 * k + 1]          # (1, 1)
-        c_im = carry_ref[0:1, 2 * k + 1:2 * k + 2]
+        c_re = carry_ref[_SUB - 1:_SUB, 2 * k:2 * k + 1]  # (1, 1), row 7
+        c_im = carry_ref[_SUB - 1:_SUB, 2 * k + 1:2 * k + 2]
         # block 0 injects s0 at the last pad zero; later blocks inject
         # p * carry at (0, 0) — both are "state before the first sample
         # this block owns", folded into the drive by linearity
         l_re, l_im = _cmul(c_re, c_im, pr, pim)
         mask = is_first * mask_inj + (1.0 - is_first) * mask_00
-        vr = is_first * c_re + (1.0 - is_first) * l_re
-        vi = is_first * c_im + (1.0 - is_first) * l_im
+
+        # Mosaic has no combined sublane+lane broadcast lowering for
+        # (1,1)->(8,BN); stage through a (1,BN) row with a non-foldable
+        # where (a multiply by ones gets canonicalized away)
+        def rowcast(v):
+            return jnp.where(lane_io[0:1, :] >= 0, v, 0.0)
+
+        vr = rowcast(is_first * c_re + (1.0 - is_first) * l_re)
+        vi = rowcast(is_first * c_im + (1.0 - is_first) * l_im)
         e_re = float(w.real) * x + mask * vr
         e_im = float(w.imag) * x + mask * vi
 
@@ -216,27 +223,32 @@ def _iir_kernel(*refs, bn, log_bn, pairs, b0, inj_r, inj_l):
                 sp_r, sp_i = _cmul(sp_r, sp_i, sp_r, sp_i)
 
         # ---- sublane scan over row totals with multiplier p^bn:
-        # RS[r] = end-of-row state (carry already inside e)
+        # RS[r] = end-of-row state (carry already inside e). Operate on
+        # full (8, 128) lane slabs — width-1 sublane concats hit a Mosaic
+        # "offset mismatch" tiny-tile limitation; only lane 127 (the last
+        # sample of each row) is meaningful, the rest is dead freight.
         pbn = np.complex128(p) ** bn
-        rr = zr[:, bn - 1:bn]
-        ri = zim[:, bn - 1:bn]
+        rr = zr[:, bn - _LANE:bn]
+        ri = zim[:, bn - _LANE:bn]
         sp = pbn
         for s_idx in range(3):
             s = 1 << s_idx
             shr = jnp.concatenate(
-                [jnp.zeros((s, 1), jnp.float32), rr[:_SUB - s]], axis=0)
+                [jnp.zeros((s, _LANE), jnp.float32), rr[:_SUB - s]], axis=0)
             shi = jnp.concatenate(
-                [jnp.zeros((s, 1), jnp.float32), ri[:_SUB - s]], axis=0)
+                [jnp.zeros((s, _LANE), jnp.float32), ri[:_SUB - s]], axis=0)
             tr, ti = _cmul(shr, shi, float(sp.real), float(sp.imag))
             rr = rr + tr
             ri = ri + ti
             if s_idx + 1 < 3:
                 sp = sp * sp
-        # row-start states T_r = RS[r-1]
-        t_re = jnp.concatenate(
-            [jnp.zeros((1, 1), jnp.float32), rr[:_SUB - 1]], axis=0)
-        t_im = jnp.concatenate(
-            [jnp.zeros((1, 1), jnp.float32), ri[:_SUB - 1]], axis=0)
+        # row-start states T_r = RS[r-1], as (8, 1) lane-127 slices
+        ts_re = jnp.concatenate(
+            [jnp.zeros((1, _LANE), jnp.float32), rr[:_SUB - 1]], axis=0)
+        ts_im = jnp.concatenate(
+            [jnp.zeros((1, _LANE), jnp.float32), ri[:_SUB - 1]], axis=0)
+        t_re = ts_re[:, _LANE - 1:_LANE]
+        t_im = ts_im[:, _LANE - 1:_LANE]
 
         # ---- s[n-1] per element: lane-shifted zs + p^l * T_r
         zs_pr = jnp.concatenate(
@@ -249,16 +261,18 @@ def _iir_kernel(*refs, bn, log_bn, pairs, b0, inj_r, inj_l):
         # s[n-1] at this block's (0, 0) is the carry itself — the drive
         # injection above only reaches s[0] onward (block 0's pad region
         # needs no such term: its outputs are discarded)
-        sp_re = sp_re + mask_00 * ((1.0 - is_first) * c_re)
-        sp_im = sp_im + mask_00 * ((1.0 - is_first) * c_im)
+        sp_re = sp_re + mask_00 * rowcast((1.0 - is_first) * c_re)
+        sp_im = sp_im + mask_00 * rowcast((1.0 - is_first) * c_im)
 
         y = y + wgt * (float(q.real) * sp_re - float(q.imag) * sp_im)
-        new_carry.append((rr[_SUB - 1:_SUB, 0:1], ri[_SUB - 1:_SUB, 0:1]))
+        new_carry.append((rr[:, _LANE - 1:_LANE], ri[:, _LANE - 1:_LANE]))
 
     y_ref[:, :] = y
+    # carry column 2k/2k+1 = re/im RS column for pole k; only row 7 (the
+    # block-final state) is read back
     for k, (cr, ci) in enumerate(new_carry):
-        carry_ref[0:1, 2 * k:2 * k + 1] = cr
-        carry_ref[0:1, 2 * k + 1:2 * k + 2] = ci
+        carry_ref[:, 2 * k:2 * k + 1] = cr
+        carry_ref[:, 2 * k + 1:2 * k + 2] = ci
 
     @pl.when(i == n_i - 1)
     def _():
@@ -345,15 +359,16 @@ def iir_pallas(b, a, x, zi=None, block_n=8192, interpret=False):
     pad = npad - n
     x2 = jnp.pad(x, (pad, 0)).reshape(npad // bn, bn)
 
-    # initial diagonal state s0 = Q^-1 zi, packed row 0 / lanes 2k, 2k+1
+    # initial diagonal state s0 = Q^-1 zi, packed row 7 / lanes 2k, 2k+1
+    # (row 7 is where the kernel's carry column holds the block-final state)
     s0 = jnp.zeros((_SUB, _LANE), jnp.float32)
     if zi is not None:
         zi = jnp.asarray(zi, jnp.float32).reshape(diag.m)
         for k in range(len(diag.poles)):
             qr = jnp.asarray(diag.qinv_rows[k].real, jnp.float32)
             qi = jnp.asarray(diag.qinv_rows[k].imag, jnp.float32)
-            s0 = s0.at[0, 2 * k].set(jnp.dot(qr, zi))
-            s0 = s0.at[0, 2 * k + 1].set(jnp.dot(qi, zi))
+            s0 = s0.at[_SUB - 1, 2 * k].set(jnp.dot(qr, zi))
+            s0 = s0.at[_SUB - 1, 2 * k + 1].set(jnp.dot(qi, zi))
 
     pairs = tuple(
         (diag.poles[k], diag.w[k], diag.q[k], diag.wgt[k])
@@ -371,5 +386,6 @@ def iir_pallas(b, a, x, zi=None, block_n=8192, interpret=False):
     for k in range(len(pairs)):
         qcr = jnp.asarray(diag.qcols[k].real, jnp.float32)
         qci = jnp.asarray(diag.qcols[k].imag, jnp.float32)
-        zf = zf + diag.wgt[k] * (qcr * sf[0, 2 * k] - qci * sf[0, 2 * k + 1])
+        zf = zf + diag.wgt[k] * (qcr * sf[_SUB - 1, 2 * k]
+                                 - qci * sf[_SUB - 1, 2 * k + 1])
     return y, zf

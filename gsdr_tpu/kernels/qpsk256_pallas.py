@@ -1,12 +1,19 @@
 """QPSK256 nearest-neighbor demodulation as a Pallas TPU kernel.
 
-The XLA path (ops/qpsk256.qpsk256_demodulate) materializes the (N, 256)
-score matrix in HBM — measured 60.5 Msym/s (BASELINE.md round 1), the one
-op where the TPU build plausibly lost to the reference GPU's
-constant-memory loop (/root/reference/src/qpsk256.cu:154-195). Here the
-score matrix never leaves VMEM: the 256-point table is resident, each
-grid step demodulates 4 x BN symbols, and only the winning indices are
-written back.
+Opt-in alternative to the XLA path (ops/qpsk256.qpsk256_demodulate).
+Round-2 hardware measurements (v5e, 262k symbols, honest full-output
+data dependence): this kernel 748 Msym/s, the XLA matmul+argmin
+1952 Msym/s — XLA fuses the reduce into the matmul so the (N, 256)
+score matrix never materializes, and the MXU beats this kernel's VPU
+broadcasts. 'auto' therefore stays on XLA; the kernel remains as the
+explicitly-requested impl='pallas' path (decisions verified identical
+on hardware: 3/262144 last-ulp ties, 0 mismatches vs float64 NN).
+Round 1's recorded 60.5 Msym/s for the XLA path was a measurement
+artifact, not a real limit. Reference being replaced:
+/root/reference/src/qpsk256.cu:154-195 (per-sample constant-memory loop).
+
+Per grid step the 256-point table is VMEM-resident, 4 x BN symbols are
+demodulated, and only the winning indices are written back.
 
 Per chunk (one (1, BN) row pair of the block):
 
@@ -42,7 +49,8 @@ def _demod_kernel(x_ref, c_ref, out_ref, *, bn):
     c_im = c_ref[:, 1:2]
     c_a2 = c_ref[:, 2:3]
     pt_idx = jax.lax.broadcasted_iota(
-        jnp.float32, (_NPTS, bn), 0)  # exact for values < 2^24
+        jnp.int32, (_NPTS, bn), 0).astype(jnp.float32)  # exact < 2^24
+    # (tpu.iota is integer-only; cast after)
     rows = []
     for k in range(_CHUNKS):
         x_re = xb[2 * k:2 * k + 1, :]       # (1, BN)

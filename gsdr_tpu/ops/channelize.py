@@ -94,6 +94,7 @@ def mix_fir_decimate_bank(x, kernel, decimation, impl="auto"):
         padding="VALID",
         dimension_numbers=("NCH", "OIH", "NCH"),
         preferred_element_type=jnp.float32,
+        precision=lax.Precision.HIGHEST,
     )  # (B, 2C, M)
     m = out.shape[-1]
     c = kernel.shape[0] // 2

@@ -39,6 +39,7 @@ def _real_conv(x, taps, decimation):
         padding="VALID",
         dimension_numbers=("NCH", "OIH", "NCH"),
         preferred_element_type=jnp.float32,
+        precision=lax.Precision.HIGHEST,
     )
     return out[:, 0, :]
 

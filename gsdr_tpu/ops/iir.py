@@ -216,7 +216,12 @@ def _iir_block_xla(b, a, x, zi=None, block_len=128):
         zi_b = jnp.zeros((xb.shape[0], b.shape[0] - 1), dtype)
     else:
         zi_b = jnp.asarray(zi, dtype).reshape((-1, b.shape[0] - 1))
-    y, zf = jax.vmap(lambda xi, zii: _iir_1d(b, a, xi, zii, block_len))(xb, zi_b)
+    # f32 matmul precision: TPU matmuls default to bf16, which silently
+    # breaks the exactness contract of the blocked scan (state-transition
+    # compositions are tiny m x m matrices — HIGHEST costs nothing here)
+    with jax.default_matmul_precision("float32"):
+        y, zf = jax.vmap(
+            lambda xi, zii: _iir_1d(b, a, xi, zii, block_len))(xb, zi_b)
     return (
         y.reshape(batch_shape + (x.shape[-1],)),
         zf.reshape(batch_shape + (b.shape[0] - 1,)),
@@ -258,7 +263,8 @@ def iir_reference(b, a, x, zi=None):
         return y
 
     batch_shape = x.shape[:-1]
-    y = jax.vmap(run)(x.reshape((-1, x.shape[-1])))
+    with jax.default_matmul_precision("float32"):
+        y = jax.vmap(run)(x.reshape((-1, x.shape[-1])))
     return y.reshape(batch_shape + (x.shape[-1],))
 
 

@@ -104,6 +104,7 @@ def _resample_core(xp, kern, l, m):
         window_strides=(m,), padding="VALID",
         dimension_numbers=("NCH", "OIH", "NCH"),
         preferred_element_type=jnp.float32,
+        precision=lax.Precision.HIGHEST,
     )  # (B, 2L, Q_out)
     q_out = out.shape[-1]
     out = out.reshape(lead + (l, 2, q_out))

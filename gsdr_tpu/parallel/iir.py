@@ -91,13 +91,14 @@ def sharded_iir(b, a, x_local, zi, axis_name, num_shards, block_len=128):
 
     s = lax.axis_index(axis_name)
     # z_start for this shard: M^{L*s} zi + sum_{k<s} M^{L*(s-1-k)} d_k
-    z = jnp.einsum("...m,nm->...n", zi, Pj[s])
-    zf = jnp.einsum("...m,nm->...n", zi, Pj[t])
+    z = jnp.einsum("...m,nm->...n", zi, Pj[s], precision="highest")
+    zf = jnp.einsum("...m,nm->...n", zi, Pj[t], precision="highest")
     for k in range(t):
         contrib = jnp.einsum("...m,nm->...n", d_all[k],
-                             Pj[jnp.clip(s - 1 - k, 0, t)])
+                             Pj[jnp.clip(s - 1 - k, 0, t)],
+                             precision="highest")
         z = z + jnp.where(k < s, 1.0, 0.0) * contrib
-        zf = zf + jnp.einsum("...m,nm->...n", d_all[k], Pj[t - 1 - k])
+        zf = zf + jnp.einsum("...m,nm->...n", d_all[k], Pj[t - 1 - k], precision="highest")
 
-    y = y0 + jnp.einsum("...m,lm->...l", z, Kj)
+    y = y0 + jnp.einsum("...m,lm->...l", z, Kj, precision="highest")
     return y, zf

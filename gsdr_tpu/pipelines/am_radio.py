@@ -11,6 +11,7 @@ src/am.cu:21-50), so state is just (global offset, raw RF tail).
 from dataclasses import dataclass
 from typing import Tuple
 
+import jax
 import jax.numpy as jnp
 
 from gsdr_tpu.carray import ComplexArray, is_planar
@@ -37,7 +38,9 @@ class AmReceiver:
     channel_frequencies: Tuple[float, ...]
     decimation: int
     low_pass_taps: Tuple[float, ...]
-    impl: str = "xla"  # 'xla' | 'pallas' (fused single-kernel chain)
+    # 'auto' (fused single-kernel chain on TPU when the shape supports it,
+    # measured 16x the XLA conv path) | 'xla' | 'pallas'
+    impl: str = "auto"
 
     @property
     def num_channels(self):
@@ -82,11 +85,20 @@ class AmReceiver:
             jnp.concatenate([rf_tail.im, rf.im], axis=-1),
         )
 
-        if self.impl == "pallas":
+        from gsdr_tpu.kernels.fm_chain_pallas import (
+            am_chain_pallas,
+            fused_chain_supported,
+        )
+
+        m_out = (buf.shape[-1] - t) // self.decimation + 1
+        use_pallas = self.impl == "pallas" or (
+            self.impl == "auto"
+            and jax.default_backend() != "cpu"
+            and fused_chain_supported(self.decimation, t, m_out,
+                                      self.num_channels))
+        if use_pallas:
             # single fused kernel (windows+dot+envelope; the rotor cancels
             # under magnitude) — kernels/fm_chain_pallas.am_chain_pallas
-            from gsdr_tpu.kernels.fm_chain_pallas import am_chain_pallas
-
             audio = am_chain_pallas(buf, self._tap_bank(), self.decimation)
             new_tail = buf[..., buf.shape[-1] - (t - 1):]
             n0_new = (n0 + jnp.int32(n % fs)) % fs

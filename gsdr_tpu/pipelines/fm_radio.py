@@ -18,6 +18,7 @@ import math
 from dataclasses import dataclass
 from typing import Tuple
 
+import jax
 import jax.numpy as jnp
 
 from gsdr_tpu.carray import ComplexArray, is_planar
@@ -71,7 +72,9 @@ class FmChannelizer:
     decimation: int
     low_pass_taps: Tuple[float, ...]
     deemphasis_tau: float = 75e-6
-    impl: str = "xla"  # 'xla' | 'pallas' (fused single-kernel chain)
+    # 'auto' (fused single-kernel chain on TPU when the shape supports it)
+    # | 'xla' | 'pallas'
+    impl: str = "auto"
 
     # -- derived (host-side) -------------------------------------------------
     @property
@@ -139,12 +142,21 @@ class FmChannelizer:
             jnp.concatenate([rf_tail.im, rf.im], axis=-1),
         )
 
-        if self.impl == "pallas":
+        from gsdr_tpu.kernels.fm_chain_pallas import (
+            fm_chain_pallas,
+            fused_chain_supported,
+        )
+
+        m_out = (buf.shape[-1] - t) // self.decimation + 1
+        use_pallas = self.impl == "pallas" or (
+            self.impl == "auto"
+            and jax.default_backend() != "cpu"
+            and fused_chain_supported(self.decimation, t, m_out,
+                                      self.num_channels))
+        if use_pallas:
             # single fused Pallas kernel: conv + rotor + discriminator +
             # de-emphasis, one HBM read and one write; state-compatible
             # with the unfused path below (kernels/fm_chain_pallas.py).
-            from gsdr_tpu.kernels.fm_chain_pallas import fm_chain_pallas
-
             rot0 = (n0 + jnp.int32(fs - (t - 1) % fs)) % fs
             b_, a_ = self._deemph()
             audio, new_carry, new_zi = fm_chain_pallas(

@@ -29,6 +29,15 @@ def time_step(step, state, block, iters=20, reps=3):
     pytree state. The K-step loop is jitted as one program; the returned
     time includes everything the step does, amortizing dispatch overhead
     over ``iters`` chained executions.
+
+    DCE/hoisting hazards (round-2 lesson — a stateless demod "measured"
+    10x faster than physically possible): the checksum fully reduces
+    EVERY output leaf, so no output work can be dead-code-eliminated;
+    the small reduction cost is included in the reported time (honest —
+    any consumer reads the output). Loop HOISTING is still the step's
+    responsibility: if iterations don't depend on carried state, XLA
+    computes the body once — thread a real data dependence
+    (float paths: ``x + st*1e-30``; int paths: ``(x + st) % k``).
     """
 
     if iters < 2:
@@ -36,11 +45,11 @@ def time_step(step, state, block, iters=20, reps=3):
                          "the overhead subtraction)")
 
     def _leaf_sum(out):
-        # Sum a scalar contribution from EVERY output leaf so no leaf's
+        # Fully reduce EVERY output leaf so no output element's
         # computation can be dead-code-eliminated inside the jitted loop.
         total = jnp.float32(0.0)
         for leaf in jax.tree_util.tree_leaves(out):
-            total = total + jnp.sum(leaf[..., :1]).astype(jnp.float32)
+            total = total + jnp.sum(leaf).astype(jnp.float32)
         return total
 
     def k_steps(state, block):
