@@ -36,7 +36,9 @@ N_SAMPLES = 1 << 20
 N_CHANNELS = 16
 N_TAPS = 64
 DECIMATION = 4
-ITERS = 10
+ITERS = 200  # iters*step (~85 ms) must dominate dispatch-overhead noise
+             # (tens of ms, +-10-30% run to run) or the subtraction is junk
+             # (60 iters still spread 2.0-4.4 Gsps across runs)
 
 F32_PEAK_FLOPS = 49.2e12  # v5e MXU, f32 (bf16 peak 196.6 TFLOP/s / 4)
 FLOP_PER_SAMPLE = N_CHANNELS * N_TAPS * 8 / DECIMATION
@@ -86,7 +88,7 @@ def main():
         jnp.asarray(rng.standard_normal(N_SAMPLES), jnp.float32),
     )
     state = model.init()
-    sec = time_step(model.step, state, rf, iters=ITERS)
+    sec = time_step(model.step, state, rf, iters=ITERS, reps=5)
     msps = N_SAMPLES / sec / 1e6
     err = hw_accuracy_check(model, model_xla)
     print(json.dumps({

@@ -67,6 +67,30 @@ def bench_shift_fir(n, iters):
             "value": round(n / sec / 1e6, 2), "unit": "Msamples/s"}
 
 
+def bench_shift_fir_fused(n, iters):
+    """Config 2, framework-native form: shift+FIR+decimate as ONE complex-
+    tap-bank op (the LO folds into the taps; kernels/channelize_pallas)."""
+    from gsdr_tpu.ops.channelize import make_complex_tap_bank
+    from gsdr_tpu.kernels.channelize_pallas import (
+        mix_fir_decimate_bank_pallas,
+        pallas_supported,
+    )
+
+    kernel = make_complex_tap_bank(_lowpass(64, 0.1), [12_345.0], 1e6)
+    rf = _noise(n)
+    assert pallas_supported(4, 64)
+
+    def step(state, x):
+        from gsdr_tpu.carray import ComplexArray
+        y = mix_fir_decimate_bank_pallas(
+            ComplexArray(x.re + state, x.im), kernel, 4)
+        return (jnp.sum(y.re) + jnp.sum(y.im)) * 1e-30, y
+
+    sec = time_step(step, jnp.float32(0.0), rf, iters=iters * 10)
+    return {"metric": "shift_fir64_dec4_fused_input_msps",
+            "value": round(n / sec / 1e6, 2), "unit": "Msamples/s"}
+
+
 def bench_fm(n, iters, impl="xla", nch=16):
     """Config 3 (flagship): C-channel FM chain incl. de-emphasis.
 
@@ -106,9 +130,16 @@ def bench_qpsk(n, iters):
             "value": round(n / sec / 1e6, 2), "unit": "Msymbols/s"}
 
 
-def bench_qpsk256(n, iters):
-    """Config 5 shape (single-chip portion): 256-ary NN demod via MXU."""
-    modem = Qpsk256Modem()
+def bench_qpsk256(n, iters, ctype=None):
+    """Config 5 shape (single-chip portion): 256-ary loopback.
+
+    Rectangular uses the O(1) arithmetic fast paths; circular is the
+    exhaustive nearest-neighbor demod (XLA-fused matmul+argmin). Both are
+    fast enough that ``iters`` is multiplied up to beat dispatch noise."""
+    from gsdr_tpu.ops.qpsk256 import RECTANGULAR
+
+    ctype = RECTANGULAR if ctype is None else ctype
+    modem = Qpsk256Modem(constellation_type=ctype)
     syms = jnp.asarray(
         np.random.default_rng(0).integers(0, 256, n), jnp.int32)
 
@@ -118,8 +149,9 @@ def bench_qpsk256(n, iters):
         out = modem.rx(tx)
         return (jnp.sum(out) % 1021).astype(jnp.float32), out
 
-    sec = time_step(step, jnp.zeros(()), syms, iters=iters)
-    return {"metric": "qpsk256_loopback_msym_s",
+    name = "rect" if ctype == RECTANGULAR else "circ"
+    sec = time_step(step, jnp.zeros(()), syms, iters=iters * 20)
+    return {"metric": f"qpsk256_loopback_{name}_msym_s",
             "value": round(n / sec / 1e6, 2), "unit": "Msymbols/s"}
 
 
@@ -138,7 +170,9 @@ def bench_iir(n, iters, impl="auto"):
         y, zf = iir_block(b, a, xx + state * 1e-30, impl=impl)
         return zf[0], y
 
-    sec = time_step(step, jnp.float32(0.0), x, iters=iters)
+    # the kernel is ~60 us at 1M samples: many iterations needed to rise
+    # above the tunnel's per-dispatch noise
+    sec = time_step(step, jnp.float32(0.0), x, iters=iters * 20)
     return {"metric": f"iir_biquad_{impl}_msps",
             "value": round(n / sec / 1e6, 2), "unit": "Msamples/s"}
 
@@ -154,11 +188,13 @@ def main(argv=None):
     results = [
         bench_am(n, iters),
         bench_shift_fir(n, iters),
+        bench_shift_fir_fused(n, iters),
         bench_fm(n, iters, impl="xla"),
         bench_fm(n, iters, impl="pallas"),
         bench_fm(n, iters, impl="pallas", nch=64),
         bench_qpsk(n, iters),
         bench_qpsk256(min(n, 1 << 19), iters),
+        bench_qpsk256(min(n, 1 << 19), iters, ctype=1),  # CIRCULAR NN
         bench_iir(n, iters),
     ]
     for r in results:

@@ -1,26 +1,22 @@
-"""Fused channelizer conv as a Pallas TPU kernel.
+"""Fused channelizer conv as a Pallas TPU kernel (stacked-MXU layout).
 
 Computes the same contraction as ops/channelize.mix_fir_decimate_bank —
-y[c, j] = sum_t x[j*D + t] * g_c[t] over a bank of complex taps — but
-without XLA's HBM im2col. The insight: transpose the matmul so the window
-matrix's rows are SHIFTED COPIES of the phase-split input,
+y[c, j] = sum_t x[j*D + t] * g_c[t] over a bank of complex taps — without
+XLA's HBM im2col, sharing the round-2 stacked machinery of
+kernels/fm_chain_pallas.py: R consecutive decimated outputs stack into
+the MXU M dimension (G' (R*2C, K) @ W' (K, BN)), the window matrix W' is
+built from full-height shifted copies of the coarse-column phase-split
+input inside VMEM, and any output length works (stateless kernel — M
+pads up to a multiple of R*128 and the outputs slice back).
 
-    x is reshaped host-side to xp (2D, M) with row (p*2 + plane) holding
-    plane(x[j*D + p]); then
+The reference computes the same window reuse through its per-thread tap
+loop over global memory with a hardware cache
+(/root/reference/src/fir.cu:57-70, src/adjustFrequency.cu:36-55); on TPU
+the reuse is explicit VMEM residency and the channel bank is one matmul.
 
-    W (2T, BM) with W[k*2D + q, j] = xp[q, j0 + j + k]      (k < T/D)
-    y (2C, BM) = G (2C, 2T) @ W
-
-so building W is T/D shifted (2D, BM) copies inside VMEM — cheap VPU moves
-of data DMA'd from HBM exactly once — followed by one MXU matmul per block
-with the full output width as the N dimension. The reference computes this
-same window reuse through its per-thread tap loop over global memory with a
-hardware cache (/root/reference/src/fir.cu:57-70, src/adjustFrequency.cu:
-36-55); on TPU the reuse is explicit VMEM residency.
-
-Requires T % D == 0 (pad taps with zeros otherwise) and 2*T and 2*D
-aligned to the f32 tile sublane (8): D in {1, 4 (then 2D=8 rows)} etc.; the
-wrapper pads as needed.
+Requires only T % D == 0 (pad taps with zeros otherwise): the round-1
+restriction 2D % 8 == 0 (which excluded D in {1, 2}) is gone — the
+alignment unit is now R*2D.
 """
 
 import functools
@@ -33,167 +29,101 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from gsdr_tpu.carray import ComplexArray
-
-_LANE = 128
-_SUB = 8
-
-
-def pallas_supported(decimation, num_taps):
-    """The kernel requires T % D == 0 and 2D a multiple of the f32 sublane
-    tile (8), i.e. D in {4, 8, 12, ...}; other configs use the XLA conv."""
-    return num_taps % decimation == 0 and (2 * decimation) % _SUB == 0
-
-
-def _g_matrix(kernel_np, decimation):
-    """(2C, 2, T) conv kernel -> (2C, 2T) contraction matrix G matching the
-    W row order k*2D + (p*2 + plane)."""
-    k2c, _, t = kernel_np.shape
-    d = decimation
-    p_cnt = t // d
-    g = np.zeros((k2c, 2 * t), np.float32)
-    for k in range(p_cnt):
-        for p in range(d):
-            for plane in range(2):
-                g[:, k * 2 * d + p * 2 + plane] = \
-                    kernel_np[:, plane, k * d + p]
-    return g
+from gsdr_tpu.kernels.fm_chain_pallas import (
+    _LANE,
+    _g_matrix_stacked,
+    _pad_bank,
+    _pick_bn,
+    _split_g,
+    _stack_geometry,
+    _window_dot,
+    _xq_prep,
+)
 
 
-def _channelize_kernel(xp_ref, halo_ref, gh_ref, gl_ref, out_ref, w_ref, *,
-                       p_cnt, rows):
-    """One grid step: build W (2T, BM) from shifted copies, then a 3-pass
-    bf16x3 MXU contraction.
-
-    An f32 matmul on the MXU costs ~6 bf16 passes; splitting both operands
-    into (hi, lo) bf16 and keeping the three significant cross terms
-    gh*wh + gh*wl + gl*wh costs 3 passes. Observed accuracy: ~1e-4
-    relative in interpreter mode, ~1e-3 on hardware (Mosaic bf16 rounding)
-    — acceptable for RF signal paths (ADC noise floors are far higher),
-    which is why this kernel is opt-in (impl='pallas') rather than the
-    default f32 conv path."""
-    bm = out_ref.shape[1]
-    v = jnp.concatenate([xp_ref[:, :], halo_ref[:, :]], axis=1)
-    for k in range(p_cnt):
-        w_ref[k * rows:(k + 1) * rows, :] = v[:, k:k + bm]
-    w = w_ref[:, :]
-    wh = w.astype(jnp.bfloat16)
-    wl = (w - wh.astype(jnp.float32)).astype(jnp.bfloat16)
-    gh = gh_ref[:, :]
-    gl = gl_ref[:, :]
-    acc = jnp.dot(gh, wh, preferred_element_type=jnp.float32)
-    acc += jnp.dot(gh, wl, preferred_element_type=jnp.float32)
-    acc += jnp.dot(gl, wh, preferred_element_type=jnp.float32)
-    out_ref[:, :] = acc
+def pallas_supported(decimation, num_taps, num_channels=1):
+    """True when the stacked kernel covers this filter shape: T % D == 0
+    (and the tap window fits the 128-coarse-column halo)."""
+    return _stack_geometry(int(num_channels), int(num_taps),
+                           int(decimation), _LANE * 8, pad_m=True) is not None
 
 
-@functools.partial(jax.jit, static_argnames=("decimation", "block_m"))
-def _run(xp, gh, gl, decimation, block_m):
-    rows, mp = xp.shape            # rows = 2D, mp = padded M + halo
-    k2c, k2t = gh.shape
-    p_cnt = k2t // rows            # T/D shifts
-    m_out = mp - _LANE             # output positions (halo columns at tail)
-    bm = block_m
-    grid = (m_out // bm,)
+def _channelize_kernel(xq_ref, halo_ref, gh_ref, gl_ref, out_ref, w_ref, *,
+                       groups, rows, c_eff, r_stack, f32_dot):
+    """One grid step: stacked windows + bf16x3 (or f32) MXU contraction.
 
-    kernel = functools.partial(_channelize_kernel, p_cnt=p_cnt, rows=rows)
+    Output rows are r-major ((r*2C + plane_row); the wrapper interleaves
+    back to (2C, M))."""
+    bn = out_ref.shape[1]
+    out_ref[:, :] = _window_dot(xq_ref, halo_ref, gh_ref, gl_ref, w_ref, bn,
+                                groups, rows, f32_dot)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("block_n", "groups", "rows", "c_eff", "r_stack",
+                     "f32_dot", "interpret"))
+def _run(xq, gh, gl, *, block_n, groups, rows, c_eff, r_stack, f32_dot,
+         interpret):
+    _, n_coarse_total = xq.shape
+    k_rows = gh.shape[1]
+    n_out = n_coarse_total - _LANE
+    bn = block_n
+    kernel = functools.partial(_channelize_kernel, groups=groups, rows=rows,
+                               c_eff=c_eff, r_stack=r_stack, f32_dot=f32_dot)
+    vm = pltpu.VMEM
     return pl.pallas_call(
         kernel,
-        grid=grid,
+        grid=(n_out // bn,),
         in_specs=[
-            pl.BlockSpec((rows, bm), lambda i: (0, i),
-                         memory_space=pltpu.VMEM),
-            # halo: the next _LANE columns after this block
-            pl.BlockSpec((rows, _LANE), lambda i: (0, (i * bm) // _LANE + bm // _LANE),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((k2c, k2t), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((k2c, k2t), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows, bn), lambda i: (0, i), memory_space=vm),
+            pl.BlockSpec((rows, _LANE),
+                         lambda i: (0, (i * bn) // _LANE + bn // _LANE),
+                         memory_space=vm),
+            pl.BlockSpec(gh.shape, lambda i: (0, 0), memory_space=vm),
+            pl.BlockSpec(gl.shape, lambda i: (0, 0), memory_space=vm),
         ],
-        out_specs=pl.BlockSpec((k2c, bm), lambda i: (0, i),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((k2c, m_out), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((k2t, bm), jnp.float32)],
-    )(xp, xp, gh, gl)
+        out_specs=pl.BlockSpec((r_stack * 2 * c_eff, bn), lambda i: (0, i),
+                               memory_space=vm),
+        out_shape=jax.ShapeDtypeStruct((r_stack * 2 * c_eff, n_out),
+                                       jnp.float32),
+        scratch_shapes=[pltpu.VMEM((k_rows, bn), jnp.float32)],
+        interpret=interpret,
+    )(xq, xq, gh, gl)
 
 
-def mix_fir_decimate_bank_pallas(x, kernel, decimation, block_m=1024,
-                                 interpret=False):
+def mix_fir_decimate_bank_pallas(x, kernel, decimation, block_n=2048,
+                                 precision="bf16x3", interpret=False):
     """Pallas drop-in for ops.channelize.mix_fir_decimate_bank.
 
     x: planar ComplexArray (N,) (1-D only; batch via vmap). Returns planar
-    (C, M) with M = (N - T)//D + 1, identical semantics to the XLA path.
+    (C, M) with M = (N - T)//D + 1, identical semantics to the XLA path
+    (bf16x3 contraction: ~1e-4 relative; pass precision='f32' for exact).
     """
     if x.ndim != 1:
         raise ValueError("pallas channelizer takes 1-D x; vmap for batches")
+    interpret = interpret or jax.default_backend() == "cpu"
     kh = np.asarray(kernel)
     k2c, _, t = kh.shape
+    c_cnt = k2c // 2
     d = int(decimation)
-    if not pallas_supported(d, t):
-        raise ValueError(f"unsupported (D={d}, T={t}) for pallas kernel")
     n = x.shape[-1]
     m = (n - t) // d + 1
-
-    rows = 2 * d
-    p_cnt = t // d
-    # phase-split: xp[q, j] with q = p*2 + plane -> plane(x[j*D + p]).
-    # Pad so that every block's halo read stays in bounds:
-    # columns needed: m + (p_cnt - 1); pad m up to block multiple + _LANE.
-    bm = min(block_m, max(_LANE, (m // _LANE) * _LANE) or _LANE)
-    m_pad = ((m + bm - 1) // bm) * bm
-    total_cols = m_pad + _LANE
-    need = total_cols * d  # raw samples per phase grid
-    xr = jnp.pad(x.re, (0, max(0, need - n)))[:need]
-    xi = jnp.pad(x.im, (0, max(0, need - n)))[:need]
-    xr2 = xr.reshape(total_cols, d)   # [j, p]
-    xi2 = xi.reshape(total_cols, d)
-    xp = jnp.stack([xr2, xi2], axis=-1)          # [j, p, plane]
-    xp = xp.reshape(total_cols, rows).T          # (2D, total_cols)
-    xp = jnp.ascontiguousarray(xp) if hasattr(jnp, "ascontiguousarray") else xp
-
-    import ml_dtypes  # ships with jax
-
-    g = _g_matrix(kh, d)                         # (2C, 2T) float64-accurate
-    gh_np = g.astype(ml_dtypes.bfloat16)         # host-side split (numpy),
-    gl_np = (g - gh_np.astype(np.float32)).astype(ml_dtypes.bfloat16)
-    gh = jnp.asarray(gh_np)                      # safe under an active trace
-    gl = jnp.asarray(gl_np)
-
-    if interpret:
-        out = _run_interpret(xp, gh, gl, d, bm)
-    else:
-        out = _run(xp, gh, gl, d, bm)
-    out = out[:, :m]
-    c = k2c // 2
-    out = out.reshape(c, 2, m)
-    return ComplexArray(out[:, 0, :], out[:, 1, :])
-
-
-@functools.partial(jax.jit, static_argnames=("decimation", "block_m"))
-def _run_interpret(xp, gh, gl, decimation, block_m):
-    """Interpreter-mode fallback (CPU tests)."""
-    rows, mp = xp.shape
-    k2c, k2t = gh.shape
-    p_cnt = k2t // rows
-    m_out = mp - _LANE
-    bm = block_m
-    kernel = functools.partial(_channelize_kernel, p_cnt=p_cnt, rows=rows)
-    return pl.pallas_call(
-        kernel,
-        grid=(m_out // bm,),
-        in_specs=[
-            pl.BlockSpec((rows, bm), lambda i: (0, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((rows, _LANE), lambda i: (0, (i * bm) // _LANE + bm // _LANE),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((k2c, k2t), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((k2c, k2t), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((k2c, bm), lambda i: (0, i),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((k2c, m_out), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((k2t, bm), jnp.float32)],
-        interpret=True,
-    )(xp, xp, gh, gl)
+    geom = _stack_geometry(c_cnt, t, d, m, pad_m=True)
+    if geom is None:
+        raise ValueError(f"unsupported (D={d}, T={t}) for pallas kernel")
+    c_eff, r_stack, groups, m_eff = geom
+    rows = r_stack * 2 * d
+    n_j = m_eff // r_stack
+    bn = _pick_bn(n_j, block_n)
+    xq = _xq_prep(x, d, r_stack, n_j + _LANE)
+    g = _g_matrix_stacked(_pad_bank(kh, c_eff), d, c_eff, r_stack, groups)
+    gh, gl, f32_dot = _split_g(g, precision)
+    out = _run(xq, gh, gl, block_n=bn, groups=groups, rows=rows,
+               c_eff=c_eff, r_stack=r_stack, f32_dot=f32_dot,
+               interpret=interpret)
+    # r-major (R*2C_eff, n_j) -> (2C_eff, m_eff): within each r-group the
+    # rows are planes-major (re channels at 0, im channels at c_eff)
+    a = out.reshape(r_stack, 2 * c_eff, n_j)
+    a = jnp.transpose(a, (1, 2, 0)).reshape(2 * c_eff, n_j * r_stack)
+    return ComplexArray(a[:c_cnt, :m], a[c_eff:c_eff + c_cnt, :m])

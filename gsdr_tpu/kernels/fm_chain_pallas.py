@@ -87,31 +87,45 @@ def _pick_bn(n_cols, block_cols):
     return bn
 
 
-def _stack_geometry(c_cnt, t, d, m):
-    """(c_eff, R, groups, K) for the stacked contraction, or None if the
-    shape cannot run fused. c_eff pads channels to a sublane multiple so
-    every in-kernel row slice is 8-aligned."""
+def _stack_geometry(c_cnt, t, d, m, pad_m=False):
+    """(c_eff, R, groups, m_eff) for the stacked contraction, or None if
+    the shape cannot run fused. c_eff pads channels to a sublane multiple
+    so every in-kernel row slice is 8-aligned.
+
+    ``pad_m``: stateless kernels (channelizer, AM envelope) may pad M up
+    to a multiple of R*128 and slice the outputs — any M works. The FM
+    chain may NOT (its carried state exports come from the LAST grid
+    position, which must be the last real output), so it requires
+    M % (R*128) == 0 exactly.
+    """
     if t % d != 0:
         return None
     c_eff = -(-c_cnt // _SUB) * _SUB
     r = _pick_r(c_eff, d)
-    while r > 1 and (m % (r * _LANE) != 0):
-        r //= 2
-    if m % (r * _LANE) != 0 or (r * 2 * d) % _SUB != 0:
-        return None
+    if not pad_m:
+        while r > 1 and (m % (r * _LANE) != 0):
+            r //= 2
+        if m % (r * _LANE) != 0 or (r * 2 * d) % _SUB != 0:
+            return None
     p_cnt = t // d
     groups = -(-(p_cnt + r - 1) // r)
     # keep K a multiple of 16 so the bf16 operand tiles cleanly
     while (groups * r * 2 * d) % 16 != 0:
         groups += 1
-    return c_eff, r, groups, groups * r * 2 * d
+    if groups > _LANE:
+        return None  # halo window (128 coarse cols) cannot cover the taps
+    m_eff = -(-m // (r * _LANE)) * (r * _LANE) if pad_m else m
+    return c_eff, r, groups, m_eff
 
 
-def fused_chain_supported(decimation, num_taps, m_out, num_channels=16):
+def fused_chain_supported(decimation, num_taps, m_out, num_channels=16,
+                          pad_m=False):
     """True when the fused single-kernel chain can run this shape:
-    T % D == 0 and M a multiple of R*128 for the chosen stacking factor."""
+    T % D == 0 and (unless ``pad_m`` — allowed for the stateless AM
+    chain) M a multiple of R*128 for the chosen stacking factor."""
     return _stack_geometry(int(num_channels), int(num_taps),
-                           int(decimation), int(m_out)) is not None
+                           int(decimation), int(m_out),
+                           pad_m=pad_m) is not None
 
 
 def _g_matrix_stacked(kernel_np, decimation, c_eff, r_stack, groups):
@@ -181,7 +195,10 @@ def _window_dot(xq_ref, halo_ref, gh_ref, gl_ref, w_ref, bn, groups, rows,
         w_ref[g * rows:(g + 1) * rows, :] = v[:, g:g + bn]
     w = w_ref[:, :]
     if f32_dot == "f32":
-        return jnp.dot(gh_ref[:, :], w, preferred_element_type=jnp.float32)
+        # HIGHEST is load-bearing: Mosaic's dot defaults to bf16 multiply
+        # even for f32 operands (measured 2.6e-3 rel err on HW without it)
+        return jnp.dot(gh_ref[:, :], w, preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.HIGHEST)
     wh = w.astype(jnp.bfloat16)
     y = jnp.dot(gh_ref[:, :], wh, preferred_element_type=jnp.float32)
     y += jnp.dot(gl_ref[:, :], wh, preferred_element_type=jnp.float32)
@@ -281,12 +298,12 @@ def am_chain_pallas(buf, kernel_bank, decimation, block_n=2048,
     d = int(decimation)
     n = buf.shape[-1]
     m = (n - t) // d + 1
-    geom = _stack_geometry(c_cnt, t, d, m)
+    geom = _stack_geometry(c_cnt, t, d, m, pad_m=True)
     if geom is None:
         raise ValueError(f"unsupported (D={d}, T={t}, M={m}) for fused chain")
-    c_eff, r_stack, groups, _ = geom
+    c_eff, r_stack, groups, m_eff = geom
     rows = r_stack * 2 * d
-    n_j = m // r_stack
+    n_j = m_eff // r_stack
     bn = _pick_bn(n_j, block_n)
     xq = _xq_prep(buf, d, r_stack, n_j + _LANE)
     g = _g_matrix_stacked(_pad_bank(kh, c_eff), d, c_eff, r_stack, groups)

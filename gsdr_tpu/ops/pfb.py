@@ -80,6 +80,7 @@ def pfb_channelize(x, taps, num_channels):
             dimension_numbers=("NCH", "OIH", "NCH"),
             feature_group_count=k,
             preferred_element_type=jnp.float32,
+            precision=lax.Precision.HIGHEST,  # TPU convs default to bf16
         )                                           # (B, K, m)
         return out
 
@@ -89,9 +90,10 @@ def pfb_channelize(x, taps, num_channels):
     wr, wi = _dft_matrices(k)
     wrj, wij = jnp.asarray(wr), jnp.asarray(wi)
     # filt[c, j] = sum_r W[c, r] * u[j, r]; complex W x complex u.
-    f_re = jnp.einsum("cr,brm->bcm", wrj, u_re) \
-        - jnp.einsum("cr,brm->bcm", wij, u_im)
-    f_im = jnp.einsum("cr,brm->bcm", wij, u_re) \
-        + jnp.einsum("cr,brm->bcm", wrj, u_im)
+    hi = "highest"  # DFT matmul must not silently drop to bf16
+    f_re = jnp.einsum("cr,brm->bcm", wrj, u_re, precision=hi) \
+        - jnp.einsum("cr,brm->bcm", wij, u_im, precision=hi)
+    f_im = jnp.einsum("cr,brm->bcm", wij, u_re, precision=hi) \
+        + jnp.einsum("cr,brm->bcm", wrj, u_im, precision=hi)
     out_shape = lead + (k, m)
     return ComplexArray(f_re.reshape(out_shape), f_im.reshape(out_shape))

@@ -77,6 +77,15 @@ def qpsk256_constellation(constellation_type=RECTANGULAR, amplitude=1.0,
     return jnp.asarray(pts)
 
 
+def _check_table(constellation):
+    shape = (constellation.shape if is_planar(constellation)
+             else jnp.asarray(constellation).shape)
+    if shape != (256,):
+        raise ValueError(
+            f"constellation must have exactly 256 points, got shape {shape} "
+            "(build one with qpsk256_constellation)")
+
+
 def qpsk256_modulate(symbols, constellation):
     """Symbol byte values (..., N) -> samples via table gather.
 
@@ -84,6 +93,7 @@ def qpsk256_modulate(symbols, constellation):
     is a leading batch axis. Representation follows ``constellation``:
     complex64 table -> complex64 samples, planar table -> ComplexArray.
     """
+    _check_table(constellation)
     symbols = jnp.asarray(symbols).astype(jnp.int32)
     if is_planar(constellation):
         return ComplexArray(constellation.re[symbols], constellation.im[symbols])
@@ -138,6 +148,7 @@ def qpsk256_demodulate(x, constellation, out_dtype=jnp.uint8, impl="auto"):
     boundaries there). For the rectangular geometry prefer
     qpsk256_demodulate_rect (exact, O(1) per sample).
     """
+    _check_table(constellation)
     if impl == "pallas":
         from gsdr_tpu.kernels.qpsk256_pallas import qpsk256_demodulate_pallas
 

@@ -176,10 +176,16 @@ def resample(x, l, m, taps=None, taps_per_phase=16):
     """Resample planar/real (..., N) by rational factor L/M.
 
     Returns (..., floor((N - warmup) * L / M)) samples at rate Fs*L/M,
-    delayed by the filter group delay. ``taps``: prototype at rate L*Fs
-    (default windowed-sinc via design_resampler_taps).
+    delayed by the filter group delay. The trailing ``warmup`` (the
+    filter-window remainder, up to W-1 < taps_per_phase + M samples) is
+    NOT emitted — it belongs to windows that also need the next block;
+    use ResampleStream to carry it across blocks instead of dropping it.
+    ``taps``: prototype at rate L*Fs (default windowed-sinc via
+    design_resampler_taps).
     """
     l, m = int(l), int(m)
+    if l < 1 or m < 1:
+        raise ValueError(f"L and M must be >= 1, got {l}/{m}")
     g = np.gcd(l, m)
     l, m = l // g, m // g
     if taps is None:

@@ -95,7 +95,7 @@ class AmReceiver:
             self.impl == "auto"
             and jax.default_backend() != "cpu"
             and fused_chain_supported(self.decimation, t, m_out,
-                                      self.num_channels))
+                                      self.num_channels, pad_m=True))
         if use_pallas:
             # single fused kernel (windows+dot+envelope; the rotor cancels
             # under magnitude) — kernels/fm_chain_pallas.am_chain_pallas

@@ -91,4 +91,13 @@ def time_step(step, state, block, iters=20, reps=3):
     overhead_plus_one = otimes[len(otimes) // 2]
 
     per_iter = (med - overhead_plus_one) / (iters - 1)
-    return max(per_iter, 1e-9)
+    if per_iter <= 0.1 * med / iters:
+        # The K-step run was not measurably slower than one step: the real
+        # work is buried under the tunnel's +-10-30% dispatch-overhead
+        # noise. Returning the floor here once produced a "1.05e9 Msps"
+        # bench line — fail loudly instead; callers must raise ``iters``
+        # until iters*step_time dominates the overhead (tens of ms).
+        raise RuntimeError(
+            f"timing not resolvable: {iters}-step median {med * 1e3:.2f} ms "
+            f"vs 1-step {overhead_plus_one * 1e3:.2f} ms; increase iters")
+    return per_iter

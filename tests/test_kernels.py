@@ -32,6 +32,9 @@ class TestChannelizePallas:
         (4096, 32, 4, [250_000.0]),
         (9000, 128, 8, [1_000.0, -1_000.0]),
         (700, 16, 4, [44_100.0, 0.0, 3.0]),
+        # round-2: D in {1, 2} (the old layout required 2D % 8 == 0)
+        (3000, 64, 1, [10_000.0, -7_000.0]),
+        (3000, 32, 2, [50_000.0]),
     ])
     def test_matches_xla_conv(self, n, t, d, shifts):
         assert pallas_supported(d, t)
@@ -47,12 +50,13 @@ class TestChannelizePallas:
 
     def test_unsupported_configs_rejected(self):
         assert not pallas_supported(3, 64)   # T % D != 0
-        assert not pallas_supported(2, 64)   # 2D not sublane-aligned
-        assert not pallas_supported(1, 64)
+        # round-2 stacked layout: D in {1, 2} ARE supported now
+        assert pallas_supported(2, 64)
+        assert pallas_supported(1, 64)
         x = _planar(1000)
         kernel = make_complex_tap_bank(np.ones(8, np.float32), [0.0], FS)
         with pytest.raises(ValueError):
-            mix_fir_decimate_bank_pallas(x, kernel, 2, interpret=True)
+            mix_fir_decimate_bank_pallas(x, kernel, 3, interpret=True)
 
     def test_impl_pallas_dispatch(self):
         """ops.channelize impl='pallas' routes through the kernel."""
@@ -204,3 +208,29 @@ class TestFusedAmChain:
             assert err < 2e-3, (blk, err)
         # envelope is magnitude-only, so unlike FM there is no branch-cut
         # sensitivity and noise input is a fair comparison
+
+
+class TestFusedAmChainPadding:
+    def test_arbitrary_block_length(self):
+        """AM is stateless past the filter window, so the fused kernel pads
+        M to the stacking grid and slices — any block length works."""
+        import dataclasses as dc
+        from gsdr_tpu.pipelines import AmReceiver
+
+        def lowpass(nt, cf):
+            n = np.arange(nt) - (nt - 1) / 2.0
+            h = np.sinc(2 * cf * n) * np.hamming(nt)
+            return tuple((h / h.sum()).astype(np.float32).tolist())
+
+        m = AmReceiver(sample_rate=FS, tuning_frequency=0.0,
+                       channel_frequencies=(120_000.0,),
+                       decimation=4, low_pass_taps=lowpass(64, 0.04),
+                       impl="xla")
+        mp = dc.replace(m, impl="pallas")
+        z = 0.3 * (RNG.standard_normal(4100)
+                   + 1j * RNG.standard_normal(4100))
+        rf = ComplexArray.from_complex(z.astype(np.complex64))
+        _, y1 = m.step(m.init(), rf)
+        _, y2 = mp.step(mp.init(), rf)
+        assert np.asarray(y2).shape == np.asarray(y1).shape == (1, 1025)
+        assert np.max(np.abs(np.asarray(y1) - np.asarray(y2))) < 2e-3

@@ -108,7 +108,26 @@ want = np.concatenate(refs, axis=-1)
 scale = np.max(np.abs(want)) + 1e-9
 err = np.max(np.abs(got - want)) / scale
 assert err < 1e-4, err
-print(f"MULTIHOST_OK pid={pid} err={err:.2e}", flush=True)
+
+# ---- BASELINE config 5: 256-stream QPSK256 modem sharded across the two
+# processes (streams over 'channel' crosses the process boundary) --------
+from gsdr_tpu.parallel import make_sharded_qpsk256_modem
+from gsdr_tpu.pipelines import Qpsk256Modem
+from gsdr_tpu.ops.qpsk256 import CIRCULAR
+
+modem = Qpsk256Modem(constellation_type=CIRCULAR)
+tx, rx = make_sharded_qpsk256_modem(modem, mesh)
+S, NS = 256, 512
+syms_np = rng.integers(0, 256, (S, NS)).astype(np.int32)
+sh_sn = NamedSharding(mesh, P("channel", "time"))
+syms = globalize(syms_np, sh_sn)
+samples = tx(syms)
+back = rx(samples)
+back_np = np.asarray(multihost_utils.process_allgather(back, tiled=True))
+assert np.array_equal(back_np, syms_np), "sharded qpsk256 loopback mismatch"
+
+print(f"MULTIHOST_OK pid={pid} err={err:.2e} qpsk256_loopback=exact",
+      flush=True)
 """
 
 
