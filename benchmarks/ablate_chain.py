@@ -1,26 +1,31 @@
 """Stage ablation of the fused FM chain on the real chip.
 
-Answers BASELINE.md's open question: of the ~490 us per 2^20-sample step
-at 16 channels, how much is (a) the xq-prep relayout (XLA, outside the
-kernel), (b) the stacked windows+dot contraction, (c) the VPU tail
-(rotor + discriminator + de-emphasis scan), (d) the audio unstack
-relayout, (e) precision grade of the dots, (f) block size?
+Answers BASELINE.md's open question: of the ~320 us/step (2^20 samples,
+16 ch), how much is MXU dots vs VPU stages (rotor/atan2/scan) vs the XLA
+relayouts around the kernel (xq prep, audio unstack)?
 
-Each variant is timed with utils.timing.time_step (scan-in-jit, overhead
-subtraction — see its DCE notes; Pallas calls are opaque so their outputs
-cannot be pruned, XLA-only variants thread full data dependence).
+Method: time_step (scan-in-jit, overhead-subtracted) on
+  * xqadd        — st-injected elementwise add on the xq array (the data-
+                   dependence injection all kernel rows share; its cost is
+                   one HBM read+write of 8 MB, reported so deltas are clean)
+  * kernel@dot   — injection + fused kernel cut after the window matmul
+  * kernel@rotor — ... after the LO rotor
+  * kernel@disc  — ... after the discriminator atan2
+  * kernel@full  — ... the whole kernel
+  * prep         — _xq_prep alone (planar RF -> (R*2D, n_coarse) relayout)
+  * unstack      — _unstack alone ((R*C, M/R) r-major -> (C, M) relayout)
+  * e2e          — model.step (everything, the bench.py number)
+plus a block_n sweep of kernel@full.
 
-Run:  python -m benchmarks.ablate_chain [--only prep,chan,fm] [--n 20]
-One JSON line per variant, flushed as it lands (remote compiles can take
-minutes; progress visibility matters on this backend).
+Stage costs are consecutive differences; every step threads carried state
+through its INPUT (x + st*1e-30) so scan iterations cannot be hoisted
+(CLAUDE.md timing discipline).
+
+Usage: python -m benchmarks.ablate_chain  (TPU; ~2 min)
 """
 
-import argparse
+import dataclasses
 import json
-import os
-
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
 import numpy as np
 
@@ -28,119 +33,137 @@ import jax
 import jax.numpy as jnp
 
 from gsdr_tpu.carray import ComplexArray
+from gsdr_tpu.kernels import fm_chain_pallas as fcp
 from gsdr_tpu.utils.timing import time_step
+from __graft_entry__ import _model
 
 N_SAMPLES = 1 << 20
-C, T, D = 16, 64, 4
+ITERS = 200
 
 
-def _model():
-    from __graft_entry__ import _model as gm
-
-    return gm(num_channels=C, num_taps=T, decimation=D)
-
-
-def _buf(model):
+def _inputs(model):
+    t = model.num_taps
+    d = model.decimation
     rng = np.random.default_rng(0)
-    nb = N_SAMPLES + T - 1
-    return ComplexArray(
-        jnp.asarray(rng.standard_normal(nb), jnp.float32),
-        jnp.asarray(rng.standard_normal(nb), jnp.float32),
-    )
-
-
-def _time(name, step, state, block, iters, unit_n=N_SAMPLES):
-    sec = time_step(step, state, block, iters=iters)
-    print(json.dumps({
-        "variant": name,
-        "us_per_step": round(sec * 1e6, 1),
-        "input_msps": round(unit_n / sec / 1e6, 1),
-    }), flush=True)
-    return sec
-
-
-def main(argv=None):
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--only", default="", help="comma list of variant names")
-    ap.add_argument("--iters", type=int, default=40)
-    args = ap.parse_args(argv)
-    only = set(filter(None, args.only.split(",")))
-
-    def want(name):
-        return not only or any(name.startswith(o) for o in only)
-
-    model = _model()
-    buf = _buf(model)
-    bank = model._tap_bank()
-    lo = model._lo_table()
-    b_, a_ = model._deemph()
-    shifts = tuple(model._shifts())
-    fs = model.sample_rate
-    zc = ComplexArray.zeros((C, 1))
-    zi = jnp.zeros((C, 1), jnp.float32)
-
-    from gsdr_tpu.kernels.fm_chain_pallas import (
-        _stack_geometry, _xq_prep, am_chain_pallas, fm_chain_pallas)
-    from gsdr_tpu.kernels.channelize_pallas import mix_fir_decimate_bank_pallas
-
-    m = (buf.shape[-1] - T) // D + 1
-    c_eff, r_stack, groups, _ = _stack_geometry(C, T, D, m)
+    n_buf = N_SAMPLES + t - 1
+    buf = ComplexArray(
+        jnp.asarray(rng.standard_normal(n_buf), jnp.float32),
+        jnp.asarray(rng.standard_normal(n_buf), jnp.float32))
+    c_cnt = model.num_channels
+    m = (n_buf - t) // d + 1
+    c_eff, r_stack, groups, _ = fcp._stack_geometry(c_cnt, t, d, m)
+    rows = r_stack * 2 * d
     n_j = m // r_stack
+    xq = fcp._xq_prep(buf, d, r_stack, n_j + fcp._LANE)
+    kh = fcp._pad_bank(np.asarray(model._tap_bank()), c_eff)
+    g = fcp._g_matrix_stacked(kh, d, c_eff, r_stack, groups)
+    gh, gl, f32_dot = fcp._split_g(g, "bf16x3")
+    geom = dict(groups=groups, rows=rows, c_eff=c_eff, r_stack=r_stack,
+                f32_dot=f32_dot)
+    return buf, xq, gh, gl, geom, m, n_j
 
-    # (a) xq prep alone (XLA relayout into the kernel's input layout)
-    if want("prep"):
-        def prep_step(st, x):
-            xq = _xq_prep(ComplexArray(x.re + st * 1e-30, x.im),
-                          D, r_stack, n_j + 128)
-            return jnp.sum(xq) * 1e-9, xq
 
-        _time("prep_xq", prep_step, jnp.float32(0.0), buf, args.iters * 4)
+def main():
+    model = dataclasses.replace(
+        _model(num_channels=16, num_taps=64, decimation=4), impl="pallas")
+    buf, xq, gh, gl, geom, m, n_j = _inputs(model)
+    d = model.decimation
+    r_stack = geom["r_stack"]
+    c_eff = geom["c_eff"]
+    b_, a_ = model._deemph()
+    b0 = float(b_[0]) / float(a_[0])
+    b1 = float(b_[1]) / float(a_[0])
+    a1 = float(a_[1]) / float(a_[0])
+    chain_kw = dict(groups=geom["groups"], rows=geom["rows"], c_eff=c_eff,
+                    r_stack=r_stack, gain=float(model.gain), b0=b0,
+                    cc=b1 - a1 * b0, a1=a1, f32_dot=geom["f32_dot"],
+                    interpret=False)
 
-    # (b) windows + dot (+ unstack): the stacked channelizer kernel
-    for prec in ("bf16x3", "bf16x2", "f32"):
-        if want(f"chan_{prec}"):
-            def chan_step(st, x, _p=prec):
-                y = mix_fir_decimate_bank_pallas(
-                    ComplexArray(x.re + st * 1e-30, x.im), bank, D,
-                    precision=_p)
-                return (jnp.sum(y.re) + jnp.sum(y.im)) * 1e-9, y
+    shifts = tuple(model._shifts())
+    results = {}
 
-            _time(f"chan_{prec}", chan_step, jnp.float32(0.0), buf,
-                  args.iters)
+    def run(name, step, state, block, iters=ITERS):
+        sec = time_step(step, state, block, iters=iters, reps=5)
+        results[name] = sec * 1e6
+        print(json.dumps({"stage": name, "us_per_step": round(sec * 1e6, 1)}),
+              flush=True)
 
-    # (c) + envelope (AM fused kernel)
-    if want("am"):
-        def am_step(st, x):
-            y = am_chain_pallas(ComplexArray(x.re + st * 1e-30, x.im),
-                                bank, D)
-            return jnp.sum(y) * 1e-9, y
+    # -- injection-cost baseline -------------------------------------------
+    def step_xqadd(st, x):
+        out = x + st * 1e-30
+        return jnp.sum(out[:1, :128]) * 1e-30, out
 
-        _time("am_fused", am_step, jnp.float32(0.0), buf, args.iters)
+    run("xqadd", step_xqadd, jnp.float32(0.0), xq)
 
-    # (d) full FM fused chain: precision grades and block sizes
-    def fm_step_fn(prec, bn):
-        def fm_step(st, x):
-            audio, f, z = fm_chain_pallas(
-                ComplexArray(x.re + st * 1e-30, x.im), bank, lo,
-                jnp.int32(0), D, model.gain, b_, a_, zc, zi,
-                shifts_hz=shifts, sample_rate=fs,
-                block_n=bn, precision=prec)
-            return jnp.sum(audio) * 1e-9, (audio, f.re, f.im, z)
-        return fm_step
+    # -- kernel ablation ----------------------------------------------------
+    def make_kernel_step(ablate, block_n=2048):
+        bn = fcp._pick_bn(n_j, block_n)
+        n_blk = n_j // bn
+        pj_np, bt_np = fcp._phasor_tables(
+            tuple(shifts) + (0.0,) * (c_eff - len(shifts)),
+            model.sample_rate, d, r_stack, bn, n_blk)
+        pj = jnp.asarray(pj_np)
+        bt = jnp.asarray(bt_np)
+        base = jnp.concatenate(
+            [jnp.ones((c_eff, 1), jnp.float32),
+             jnp.zeros((c_eff, 1), jnp.float32)], axis=1)
+        fcar0 = jnp.zeros((c_eff, 2), jnp.float32)
+        zcar0 = jnp.zeros((c_eff, 1), jnp.float32)
 
-    for prec in ("bf16x3", "bf16x2", "f32"):
-        if want(f"fm_{prec}"):
-            _time(f"fm_{prec}_bn2048", fm_step_fn(prec, 2048),
-                  jnp.float32(0.0), buf, args.iters)
-    for bn in (512, 1024, 4096):
-        if want(f"fmbn_{bn}"):
-            _time(f"fm_bf16x3_bn{bn}", fm_step_fn("bf16x3", bn),
-                  jnp.float32(0.0), buf, args.iters)
+        def step(st, x):
+            x = x + st * 1e-30
+            audio, fcar, zcar = fcp._run_chain(
+                base, x, gh, gl, bt, pj, fcar0, zcar0,
+                block_n=bn, ablate=ablate, **chain_kw)
+            return jnp.sum(fcar) * 1e-30, (audio, fcar, zcar)
 
-    # (e) the full pipeline step (adds tail-concat, state plumbing, n0 math)
-    if want("step"):
-        rf = buf[..., : N_SAMPLES]
-        _time("pipeline_step", model.step, model.init(), rf, args.iters)
+        return step
+
+    for ablate in ("dot", "rotor", "disc", "full"):
+        run(f"kernel@{ablate}", make_kernel_step(ablate), jnp.float32(0.0),
+            xq)
+
+    # -- XLA relayouts around the kernel -------------------------------------
+    def step_prep(st, b):
+        b2 = ComplexArray(b.re + st * 1e-30, b.im)
+        out = fcp._xq_prep(b2, d, r_stack, n_j + fcp._LANE)
+        return jnp.sum(out[:1, :128]) * 1e-30, out
+
+    run("prep", step_prep, jnp.float32(0.0), buf)
+
+    audio_rmaj = jnp.zeros((r_stack * c_eff, n_j), jnp.float32)
+
+    def step_unstack(st, a):
+        out = fcp._unstack(a + st * 1e-30, c_eff, model.num_channels,
+                           r_stack, m)
+        return jnp.sum(out[:1, :128]) * 1e-30, out
+
+    run("unstack", step_unstack, jnp.float32(0.0), audio_rmaj)
+
+    # -- end to end -----------------------------------------------------------
+    rng = np.random.default_rng(1)
+    rf = ComplexArray(
+        jnp.asarray(rng.standard_normal(N_SAMPLES), jnp.float32),
+        jnp.asarray(rng.standard_normal(N_SAMPLES), jnp.float32))
+    run("e2e", model.step, model.init(), rf)
+
+    # -- block_n sweep on the full kernel ------------------------------------
+    for bn in (512, 1024, 4096, 8192):
+        run(f"kernel@full_bn{bn}", make_kernel_step("full", bn),
+            jnp.float32(0.0), xq)
+
+    inj = results["xqadd"]
+    print(json.dumps({
+        "summary_us": {
+            "injection_add": round(inj, 1),
+            "dot": round(results["kernel@dot"] - inj, 1),
+            "rotor": round(results["kernel@rotor"] - results["kernel@dot"], 1),
+            "disc": round(results["kernel@disc"] - results["kernel@rotor"], 1),
+            "deemph": round(results["kernel@full"] - results["kernel@disc"], 1),
+            "prep": round(results["prep"], 1),
+            "unstack": round(results["unstack"], 1),
+            "e2e": round(results["e2e"], 1),
+        }}), flush=True)
 
 
 if __name__ == "__main__":

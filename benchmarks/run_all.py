@@ -95,7 +95,10 @@ def bench_fm(n, iters, impl="xla", nch=16):
     """Config 3 (flagship): C-channel FM chain incl. de-emphasis.
 
     nch=64 fills the MXU's 128-wide output dimension (2C = 128); at
-    nch=16 the contraction structurally uses 1/4 of the MXU width."""
+    nch=16 the round-2 stacked kernel fills it with R=4 output phases.
+    The fused kernel runs ~0.3 ms/step: 20x the base iteration count is
+    needed for the K-step scan to rise above dispatch-overhead noise
+    (time_step raises otherwise)."""
     model = FmChannelizer(
         sample_rate=1e6, tuning_frequency=0.0,
         channel_frequencies=tuple(-480_000.0 + (960_000.0 / nch) * i
@@ -103,8 +106,27 @@ def bench_fm(n, iters, impl="xla", nch=16):
         frequency_deviation=75_000.0, decimation=4,
         low_pass_taps=_lowpass(64, 0.03), impl=impl)
     rf = _noise(n)
-    sec = time_step(model.step, model.init(), rf, iters=iters)
+    mult = 20 if impl == "pallas" else 1
+    sec = time_step(model.step, model.init(), rf, iters=iters * mult)
     return {"metric": f"fm_channelizer_{nch}ch_{impl}_input_msps",
+            "value": round(n / sec / 1e6, 2), "unit": "Msamples/s"}
+
+
+def bench_pfb(n, iters, k=16, impl="xla"):
+    """Uniform-grid PFB channelizer (beyond-parity op): K channels at
+    critical decimation."""
+    from gsdr_tpu.ops.pfb import pfb_channelize
+
+    taps = _lowpass(k * 8, 0.4 / k)
+    rf = _noise(n)
+
+    def step(state, x):
+        y = pfb_channelize(
+            ComplexArray(x.re + state, x.im), taps, k, impl=impl)
+        return (jnp.sum(y.re) + jnp.sum(y.im)) * 1e-30, y
+
+    sec = time_step(step, jnp.float32(0.0), rf, iters=iters * 10)
+    return {"metric": f"pfb_{k}ch_{impl}_input_msps",
             "value": round(n / sec / 1e6, 2), "unit": "Msamples/s"}
 
 
@@ -192,6 +214,8 @@ def main(argv=None):
         bench_fm(n, iters, impl="xla"),
         bench_fm(n, iters, impl="pallas"),
         bench_fm(n, iters, impl="pallas", nch=64),
+        bench_pfb(n, iters, impl="xla"),
+        bench_pfb(n, iters, impl="pallas"),
         bench_qpsk(n, iters),
         bench_qpsk256(min(n, 1 << 19), iters),
         bench_qpsk256(min(n, 1 << 19), iters, ctype=1),  # CIRCULAR NN

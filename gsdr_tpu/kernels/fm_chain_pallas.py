@@ -323,10 +323,21 @@ def _fm_chain_kernel(xq_ref, halo_ref, gh_ref, gl_ref, base_ref, bt_ref,
                      audio_ref, fcar_ref, zcar_ref,
                      w_ref, carry_ref, *,
                      groups, rows, c_eff, r_stack, gain, b0, cc, a_pole,
-                     log_bn, f32_dot):
+                     log_bn, f32_dot, ablate="full"):
     bn = audio_ref.shape[1]
     i = pl.program_id(0)
     n_i = pl.num_programs(0)
+
+    def _early_out(vals):
+        # Measurement hook (benchmarks/ablate_chain.py): emit the last
+        # computed stage and exports with real data dependence, skip the
+        # rest. Not a user-facing mode — stage timing only.
+        audio_ref[:, :] = jnp.concatenate(vals, axis=0)[:audio_ref.shape[0]]
+
+        @pl.when(i == n_i - 1)
+        def _():
+            fcar_ref[:, :] = vals[0][:fcar_ref.shape[0], 0:2]
+            zcar_ref[:, :] = vals[0][:zcar_ref.shape[0], 0:1]
 
     # carry_ref cols: 0 = f_re, 1 = f_im (last filtered sample), 2 = z.
     # Layout (C_eff, 8) with channel in sublanes — every access is a plain
@@ -340,6 +351,8 @@ def _fm_chain_kernel(xq_ref, halo_ref, gh_ref, gl_ref, base_ref, bt_ref,
     # ---- 1) stacked windows + tap-bank contraction -----------------------
     y = _window_dot(xq_ref, halo_ref, gh_ref, gl_ref, w_ref, bn,
                     groups, rows, f32_dot)
+    if ablate == "dot":
+        return _early_out([y])
 
     # ---- 2) LO rotor as a phasor product (no transcendentals) ------------
     # lo(c, (i*bn + J)*R + r) = base(c) * blocktab(c, i) * pj_r(c, J):
@@ -361,6 +374,8 @@ def _fm_chain_kernel(xq_ref, halo_ref, gh_ref, gl_ref, base_ref, bt_ref,
         lo_im = b_re * pj_im + b_im * pj_re
         f_res.append(y_re * lo_re - y_im * lo_im)
         f_ims.append(y_re * lo_im + y_im * lo_re)
+    if ablate == "rotor":
+        return _early_out(f_res + f_ims)
 
     # ---- 3) discriminator with carried previous sample -------------------
     # output j = J*R + r: previous sample is phase r-1 (same column), or
@@ -382,6 +397,8 @@ def _fm_chain_kernel(xq_ref, halo_ref, gh_ref, gl_ref, base_ref, bt_ref,
     # jnp.arctan2 has no Mosaic lowering; polynomial atan2 (~1e-6 rad)
     from gsdr_tpu.kernels.kmath import atan2_poly
     d_all = gain * atan2_poly(m_im, m_re)   # (R*C_eff, bn), r-major rows
+    if ablate == "disc":
+        return _early_out([d_all])
 
     # ---- 4) de-emphasis (transposed DF-II), (J, r)-decomposed ------------
     # z[j] = cc*d[j] + a*z[j-1]; y[j] = b0*d[j] + z[j-1].  Per coarse
@@ -431,10 +448,11 @@ def _fm_chain_kernel(xq_ref, halo_ref, gh_ref, gl_ref, base_ref, bt_ref,
 @functools.partial(
     jax.jit,
     static_argnames=("block_n", "groups", "rows", "c_eff", "r_stack",
-                     "gain", "b0", "cc", "a1", "f32_dot", "interpret"))
+                     "gain", "b0", "cc", "a1", "f32_dot", "interpret",
+                     "ablate"))
 def _run_chain(base, xq, gh, gl, bt, pj, fcar0, zcar0, *,
                block_n, groups, rows, c_eff, r_stack, gain, b0, cc, a1,
-               f32_dot, interpret):
+               f32_dot, interpret, ablate="full"):
     _, n_coarse_total = xq.shape
     k_rows = gh.shape[1]
     n_out = n_coarse_total - _LANE
@@ -452,7 +470,7 @@ def _run_chain(base, xq, gh, gl, bt, pj, fcar0, zcar0, *,
     kernel = functools.partial(
         _fm_chain_kernel, groups=groups, rows=rows, c_eff=c_eff,
         r_stack=r_stack, gain=gain, b0=b0, cc=cc, a_pole=a,
-        log_bn=log_bn, f32_dot=f32_dot)
+        log_bn=log_bn, f32_dot=f32_dot, ablate=ablate)
 
     n_blk = n_out // bn
     vm = pltpu.VMEM

@@ -50,7 +50,7 @@ def _dft_matrices(k):
     return (np.cos(ang).astype(np.float32), np.sin(ang).astype(np.float32))
 
 
-def pfb_channelize(x, taps, num_channels):
+def pfb_channelize(x, taps, num_channels, impl="xla"):
     """Critically-sampled PFB: planar (..., N) -> planar (..., K, N//K - Q + 1).
 
     Channel c carries the band centered at c * Fs / K (c wraps: channels
@@ -58,8 +58,29 @@ def pfb_channelize(x, taps, num_channels):
     ``taps`` and decimated by K. Matches
     channelize(x, taps, shifts=[-c*Fs/K ...], decimation=K) output windows
     aligned at j*K (same "window starts at j*D" convention as ops/fir.py).
+
+    impl: 'xla' (fold conv + DFT matmul, above) or 'pallas' — the uniform
+    grid is exactly a complex-tap-bank conv with g_c[t] = h[t]e^{-2i pi ct/K}
+    (the rotor e^{-2i pi cjK/K} = 1 at critical decimation), so the stacked
+    single-kernel channelizer (kernels/channelize_pallas.py) runs it as one
+    VMEM-resident matmul chain: no HBM fold intermediate, bf16x3 contraction
+    (~1e-4 relative; 1-D input only).
     """
     k = int(num_channels)
+    if impl == "pallas":
+        from gsdr_tpu.kernels.channelize_pallas import (
+            mix_fir_decimate_bank_pallas,
+        )
+        from gsdr_tpu.ops.channelize import make_complex_tap_bank
+
+        taps_np = np.asarray(taps, np.float64)
+        q = -(-len(taps_np) // k)
+        padded = np.zeros(k * q)
+        padded[:len(taps_np)] = taps_np
+        # shift ratio f_c/Fs = -c/K expressed with integral (f, Fs) so the
+        # bank phases are exact integer-arithmetic fractions
+        bank = make_complex_tap_bank(padded, [-c for c in range(k)], k)
+        return mix_fir_decimate_bank_pallas(x, bank, k)
     if not is_planar(x):
         x = ComplexArray.from_complex(jnp.asarray(x))
     poly = jnp.asarray(pfb_taps_to_polyphase(taps, k))  # (K, Q)

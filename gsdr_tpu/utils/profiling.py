@@ -29,9 +29,21 @@ def trace(log_dir):
 
 
 def throughput_report(step, state, block, samples_per_step, iters=10,
-                      label=""):
-    """Measure a streaming step; returns a structured result dict."""
-    sec = time_step(step, state, block, iters=iters)
+                      label="", strict=True):
+    """Measure a streaming step; returns a structured result dict.
+
+    strict=False reports a dispatch-inclusive throughput FLOOR (flagged
+    ``timing_resolved: False``) instead of raising when the workload is
+    too small to rise above dispatch-overhead noise at this iteration
+    count — for smoke runs; regression tracking should stay strict."""
+    try:
+        sec = time_step(step, state, block, iters=iters)
+        resolved = True
+    except RuntimeError:
+        if strict:
+            raise
+        sec = time_step(step, state, block, iters=iters, strict=False)
+        resolved = False
     return {
         "label": label,
         "seconds_per_step": sec,
@@ -39,4 +51,5 @@ def throughput_report(step, state, block, samples_per_step, iters=10,
         "msamples_per_second": samples_per_step / sec / 1e6,
         "backend": jax.default_backend(),
         "iters": iters,
+        "timing_resolved": resolved,
     }

@@ -22,7 +22,7 @@ import jax.numpy as jnp
 from jax import lax
 
 
-def time_step(step, state, block, iters=20, reps=3):
+def time_step(step, state, block, iters=20, reps=3, strict=True):
     """Median seconds per ``step(state, block)`` execution.
 
     ``step`` must be a pure (state, block) -> (state, out) function with
@@ -97,7 +97,13 @@ def time_step(step, state, block, iters=20, reps=3):
         # noise. Returning the floor here once produced a "1.05e9 Msps"
         # bench line — fail loudly instead; callers must raise ``iters``
         # until iters*step_time dominates the overhead (tens of ms).
-        raise RuntimeError(
-            f"timing not resolvable: {iters}-step median {med * 1e3:.2f} ms "
-            f"vs 1-step {overhead_plus_one * 1e3:.2f} ms; increase iters")
+        # strict=False callers (structure tests, quick smoke runs) get the
+        # dispatch-inclusive UPPER bound med/iters — a throughput floor,
+        # never an inflated number.
+        if strict:
+            raise RuntimeError(
+                f"timing not resolvable: {iters}-step median "
+                f"{med * 1e3:.2f} ms vs 1-step "
+                f"{overhead_plus_one * 1e3:.2f} ms; increase iters")
+        return med / iters
     return per_iter

@@ -63,6 +63,20 @@ def test_polyphase_decomposition_shape():
     np.testing.assert_array_equal(poly[1], [1.0, 5.0, 9.0])
 
 
+@pytest.mark.parametrize("k,q", [(16, 8), (8, 4)])
+def test_pallas_matches_xla(k, q):
+    # interpret mode on CPU (conftest forces the CPU backend); HW parity
+    # for the shared stacked kernel is covered by benchmarks/hw_parity.py
+    taps = _lowpass(k * q, 0.4 / k)
+    x = _planar(k * 256 + k * q)
+    want = pfb_channelize(x, taps, k, impl="xla")
+    got = pfb_channelize(x, taps, k, impl="pallas")
+    assert got.shape == want.shape
+    scale = np.max(np.abs(want.to_numpy()))
+    np.testing.assert_allclose(
+        got.to_numpy(), want.to_numpy(), atol=3e-4 * max(scale, 1.0))
+
+
 def test_batch_axis():
     k, q = 8, 4
     taps = _lowpass(k * q, 0.4 / k)
