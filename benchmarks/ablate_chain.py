@@ -54,7 +54,7 @@ def _inputs(model):
     c_eff, r_stack, groups, _ = fcp._stack_geometry(c_cnt, t, d, m)
     rows = r_stack * 2 * d
     n_j = m // r_stack
-    xq = fcp._xq_prep(buf, d, r_stack, n_j + fcp._LANE)
+    xq = fcp._xq_prep(buf, d, r_stack, n_j + fcp._LANE, mode="flat")
     kh = fcp._pad_bank(np.asarray(model._tap_bank()), c_eff)
     g = fcp._g_matrix_stacked(kh, d, c_eff, r_stack, groups)
     gh, gl, f32_dot = fcp._split_g(g, "bf16x3")
@@ -88,15 +88,25 @@ def main():
         print(json.dumps({"stage": name, "us_per_step": round(sec * 1e6, 1)}),
               flush=True)
 
+    # relayout-only steps are ~20-40 us: they need thousands of chained
+    # iterations to rise above the ~35 ms dispatch floor
+    CHEAP_ITERS = 2000
+
     # -- injection-cost baseline -------------------------------------------
     def step_xqadd(st, x):
         out = x + st * 1e-30
         return jnp.sum(out[:1, :128]) * 1e-30, out
 
-    run("xqadd", step_xqadd, jnp.float32(0.0), xq)
+    run("xqadd", step_xqadd, jnp.float32(0.0), xq, iters=CHEAP_ITERS)
 
     # -- kernel ablation ----------------------------------------------------
-    def make_kernel_step(ablate, block_n=2048):
+    def make_kernel_step(ablate, block_n=2048, xq_mode="flat"):
+        gh_m, gl_m = gh, gl
+        if xq_mode == "nt":
+            g_m = fcp._g_matrix_stacked(
+                fcp._pad_bank(np.asarray(model._tap_bank()), c_eff), d,
+                c_eff, r_stack, geom["groups"], order="planar")
+            gh_m, gl_m, _ = fcp._split_g(g_m, "bf16x3")
         bn = fcp._pick_bn(n_j, block_n)
         n_blk = n_j // bn
         pj_np, bt_np = fcp._phasor_tables(
@@ -111,17 +121,24 @@ def main():
         zcar0 = jnp.zeros((c_eff, 1), jnp.float32)
 
         def step(st, x):
-            x = x + st * 1e-30
+            if isinstance(x, tuple):
+                x = (x[0] + st * 1e-30,) + x[1:]
+            else:
+                x = x + st * 1e-30
             audio, fcar, zcar = fcp._run_chain(
-                base, x, gh, gl, bt, pj, fcar0, zcar0,
-                block_n=bn, ablate=ablate, **chain_kw)
+                base, x, gh_m, gl_m, bt, pj, fcar0, zcar0,
+                block_n=bn, ablate=ablate, xq_mode=xq_mode, **chain_kw)
             return jnp.sum(fcar) * 1e-30, (audio, fcar, zcar)
 
         return step
 
+    # kernel rows: ~100-200 us/step needs >=1000 chained iters — at 200 the
+    # +-10 ms rep-to-rep overhead noise is +-50 us/iter, bigger than the
+    # stage deltas being measured
+    KERNEL_ITERS = 1000
     for ablate in ("dot", "rotor", "disc", "full"):
         run(f"kernel@{ablate}", make_kernel_step(ablate), jnp.float32(0.0),
-            xq)
+            xq, iters=KERNEL_ITERS)
 
     # -- XLA relayouts around the kernel -------------------------------------
     def step_prep(st, b):
@@ -129,7 +146,7 @@ def main():
         out = fcp._xq_prep(b2, d, r_stack, n_j + fcp._LANE)
         return jnp.sum(out[:1, :128]) * 1e-30, out
 
-    run("prep", step_prep, jnp.float32(0.0), buf)
+    run("prep", step_prep, jnp.float32(0.0), buf, iters=CHEAP_ITERS)
 
     audio_rmaj = jnp.zeros((r_stack * c_eff, n_j), jnp.float32)
 
@@ -138,19 +155,74 @@ def main():
                            r_stack, m)
         return jnp.sum(out[:1, :128]) * 1e-30, out
 
-    run("unstack", step_unstack, jnp.float32(0.0), audio_rmaj)
+    run("unstack", step_unstack, jnp.float32(0.0), audio_rmaj,
+        iters=CHEAP_ITERS)
+
+    # bare relayout reference: the (n_coarse, rows) -> (rows, n_coarse)
+    # transpose is the suspected expensive part of prep
+    xq_t = jnp.zeros(xq.shape[::-1], jnp.float32)
+
+    def step_transpose(st, x):
+        out = (x + st * 1e-30).T
+        return jnp.sum(out[:1, :128]) * 1e-30, out
+
+    run("transpose", step_transpose, jnp.float32(0.0), xq_t,
+        iters=CHEAP_ITERS)
+
+    # -- composites: localize what the standalone rows can't ---------------
+    kernel_full = make_kernel_step("full")
+
+    def make_prep_kernel(xq_mode, block_n=2048):
+        k_step = make_kernel_step("full", block_n=block_n, xq_mode=xq_mode)
+
+        def step(st, b):
+            b2 = ComplexArray(b.re + st * 1e-30, b.im)
+            x = fcp._xq_prep(b2, d, r_stack, n_j + fcp._LANE, mode=xq_mode)
+            return k_step(jnp.float32(0.0), x)
+
+        return step
+
+    for xq_mode in ("flat", "nt"):
+        run(f"prep+kernel@{xq_mode}", make_prep_kernel(xq_mode),
+            jnp.float32(0.0), buf, iters=KERNEL_ITERS)
+    run("prep+kernel@nt_bn4096", make_prep_kernel("nt", 4096),
+        jnp.float32(0.0), buf, iters=KERNEL_ITERS)
+
+    def step_kernel_unstack(st, x):
+        st2, (audio, fcar, zcar) = kernel_full(st, x)
+        out = fcp._unstack(audio, c_eff, model.num_channels, r_stack, m)
+        return st2, out
+
+    run("kernel+unstack", step_kernel_unstack, jnp.float32(0.0), xq,
+        iters=KERNEL_ITERS)
+
+    def step_all(st, b):
+        b2 = ComplexArray(b.re + st * 1e-30, b.im)
+        x = fcp._xq_prep(b2, d, r_stack, n_j + fcp._LANE)
+        st2, (audio, fcar, zcar) = kernel_full(jnp.float32(0.0), x)
+        out = fcp._unstack(audio, c_eff, model.num_channels, r_stack, m)
+        return st2, out
+
+    run("prep+kernel+unstack", step_all, jnp.float32(0.0), buf,
+        iters=KERNEL_ITERS)
 
     # -- end to end -----------------------------------------------------------
     rng = np.random.default_rng(1)
     rf = ComplexArray(
         jnp.asarray(rng.standard_normal(N_SAMPLES), jnp.float32),
         jnp.asarray(rng.standard_normal(N_SAMPLES), jnp.float32))
-    run("e2e", model.step, model.init(), rf)
+    run("e2e", model.step, model.init(), rf, iters=600)
 
     # -- block_n sweep on the full kernel ------------------------------------
-    for bn in (512, 1024, 4096, 8192):
-        run(f"kernel@full_bn{bn}", make_kernel_step("full", bn),
-            jnp.float32(0.0), xq)
+    # (bn=8192 exceeds the 16 MB scoped-VMEM limit: the W' scratch alone is
+    # K*bn*4 = 5.2 MB and the f32 y/d intermediates scale with bn)
+    for bn in (1024, 4096):
+        try:
+            run(f"kernel@full_bn{bn}", make_kernel_step("full", bn),
+                jnp.float32(0.0), xq, iters=KERNEL_ITERS)
+        except Exception as e:  # VMEM OOM at large bn — report, keep going
+            print(json.dumps({"stage": f"kernel@full_bn{bn}",
+                              "error": str(e)[:120]}), flush=True)
 
     inj = results["xqadd"]
     print(json.dumps({

@@ -31,13 +31,17 @@ from jax.experimental.pallas import tpu as pltpu
 from gsdr_tpu.carray import ComplexArray
 from gsdr_tpu.kernels.fm_chain_pallas import (
     _LANE,
+    _build_v,
     _g_matrix_stacked,
+    _n_coarse_of,
+    _n_xq_parts,
     _pad_bank,
     _pick_bn,
     _split_g,
     _stack_geometry,
     _window_dot,
     _xq_prep,
+    _xq_specs,
 )
 
 
@@ -48,38 +52,43 @@ def pallas_supported(decimation, num_taps, num_channels=1):
                            int(decimation), _LANE * 8, pad_m=True) is not None
 
 
-def _channelize_kernel(xq_ref, halo_ref, gh_ref, gl_ref, out_ref, w_ref, *,
-                       groups, rows, c_eff, r_stack, f32_dot):
+def _channelize_kernel(*refs, groups, rows, c_eff, r_stack, f32_dot,
+                       xq_mode):
     """One grid step: stacked windows + bf16x3 (or f32) MXU contraction.
 
     Output rows are r-major ((r*2C + plane_row); the wrapper interleaves
     back to (2C, M))."""
+    nx = _n_xq_parts(xq_mode)
+    xq_refs, halo_refs = refs[:nx], refs[nx:2 * nx]
+    gh_ref, gl_ref, out_ref, w_ref = refs[2 * nx:]
     bn = out_ref.shape[1]
-    out_ref[:, :] = _window_dot(xq_ref, halo_ref, gh_ref, gl_ref, w_ref, bn,
-                                groups, rows, f32_dot)
+    v = _build_v(xq_refs, halo_refs, xq_mode)
+    out_ref[:, :] = _window_dot(v, gh_ref, gl_ref, w_ref, bn,
+                                groups, rows, f32_dot,
+                                nt=xq_mode == "nt")
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("block_n", "groups", "rows", "c_eff", "r_stack",
-                     "f32_dot", "interpret"))
+                     "f32_dot", "interpret", "xq_mode"))
 def _run(xq, gh, gl, *, block_n, groups, rows, c_eff, r_stack, f32_dot,
-         interpret):
-    _, n_coarse_total = xq.shape
+         interpret, xq_mode="flat"):
+    xq_parts = xq if isinstance(xq, tuple) else (xq,)
+    n_coarse_total = _n_coarse_of(xq_parts[0], xq_mode)
     k_rows = gh.shape[1]
     n_out = n_coarse_total - _LANE
     bn = block_n
     kernel = functools.partial(_channelize_kernel, groups=groups, rows=rows,
-                               c_eff=c_eff, r_stack=r_stack, f32_dot=f32_dot)
+                               c_eff=c_eff, r_stack=r_stack, f32_dot=f32_dot,
+                               xq_mode=xq_mode)
     vm = pltpu.VMEM
+    xq_specs, halo_specs = _xq_specs(xq_mode, rows, bn)
+    w_shape = (bn, k_rows) if xq_mode == "nt" else (k_rows, bn)
     return pl.pallas_call(
         kernel,
         grid=(n_out // bn,),
-        in_specs=[
-            pl.BlockSpec((rows, bn), lambda i: (0, i), memory_space=vm),
-            pl.BlockSpec((rows, _LANE),
-                         lambda i: (0, (i * bn) // _LANE + bn // _LANE),
-                         memory_space=vm),
+        in_specs=list(xq_specs) + list(halo_specs) + [
             pl.BlockSpec(gh.shape, lambda i: (0, 0), memory_space=vm),
             pl.BlockSpec(gl.shape, lambda i: (0, 0), memory_space=vm),
         ],
@@ -87,13 +96,14 @@ def _run(xq, gh, gl, *, block_n, groups, rows, c_eff, r_stack, f32_dot,
                                memory_space=vm),
         out_shape=jax.ShapeDtypeStruct((r_stack * 2 * c_eff, n_out),
                                        jnp.float32),
-        scratch_shapes=[pltpu.VMEM((k_rows, bn), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM(w_shape, jnp.float32)],
         interpret=interpret,
-    )(xq, xq, gh, gl)
+    )(*xq_parts, *xq_parts, gh, gl)
 
 
 def mix_fir_decimate_bank_pallas(x, kernel, decimation, block_n=2048,
-                                 precision="bf16x3", interpret=False):
+                                 precision="bf16x3", interpret=False,
+                                 xq_mode="nt"):
     """Pallas drop-in for ops.channelize.mix_fir_decimate_bank.
 
     x: planar ComplexArray (N,) (1-D only; batch via vmap). Returns planar
@@ -116,12 +126,14 @@ def mix_fir_decimate_bank_pallas(x, kernel, decimation, block_n=2048,
     rows = r_stack * 2 * d
     n_j = m_eff // r_stack
     bn = _pick_bn(n_j, block_n)
-    xq = _xq_prep(x, d, r_stack, n_j + _LANE)
-    g = _g_matrix_stacked(_pad_bank(kh, c_eff), d, c_eff, r_stack, groups)
+    xq = _xq_prep(x, d, r_stack, n_j + _LANE, mode=xq_mode)
+    g = _g_matrix_stacked(_pad_bank(kh, c_eff), d, c_eff, r_stack, groups,
+                          order="planar" if xq_mode == "nt"
+                          else "interleaved")
     gh, gl, f32_dot = _split_g(g, precision)
     out = _run(xq, gh, gl, block_n=bn, groups=groups, rows=rows,
                c_eff=c_eff, r_stack=r_stack, f32_dot=f32_dot,
-               interpret=interpret)
+               interpret=interpret, xq_mode=xq_mode)
     # r-major (R*2C_eff, n_j) -> (2C_eff, m_eff): within each r-group the
     # rows are planes-major (re channels at 0, im channels at c_eff)
     a = out.reshape(r_stack, 2 * c_eff, n_j)

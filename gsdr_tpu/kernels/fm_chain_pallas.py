@@ -128,13 +128,19 @@ def fused_chain_supported(decimation, num_taps, m_out, num_channels=16,
                            pad_m=pad_m) is not None
 
 
-def _g_matrix_stacked(kernel_np, decimation, c_eff, r_stack, groups):
+def _g_matrix_stacked(kernel_np, decimation, c_eff, r_stack, groups,
+                      order="interleaved"):
     """(2C, 2, T) conv kernel -> G' (R*2C_eff, K) stacked contraction matrix.
 
     Row r*2C + c is the re (c < C_eff) / im (c >= C_eff) plane of channel c
-    for output phase r; column s*2D + p*2 + plane multiplies
-    xq[(s%R)*2D + p*2 + plane, J + s//R] = plane(x[(J*R + s)*D + p]), which
-    is tap t = (s - r)*D + p of output j = J*R + r."""
+    for output phase r. Column order matches the in-kernel window build:
+
+      'interleaved' (flat/t32/tiled xq): column s*2D + p*2 + plane
+        multiplies xq[(s%R)*2D + p*2 + plane, J + s//R]
+        = plane(x[(J*R + s)*D + p]) — tap t = (s-r)*D + p of j = J*R + r.
+      'planar' (nt xq): column (s//R)*(R*2D) + plane*(R*D) + (s%R)*D + p —
+        the W'^T layout built from two separate re/im planes (lane-concat
+        [re(R*D) | im(R*D)], sublane-shifted per group)."""
     k2c, _, t = kernel_np.shape
     c_cnt = k2c // 2
     d = int(decimation)
@@ -146,7 +152,12 @@ def _g_matrix_stacked(kernel_np, decimation, c_eff, r_stack, groups):
             k = s - r
             for p in range(d):
                 for plane in range(2):
-                    col = s * 2 * d + p * 2 + plane
+                    if order == "planar":
+                        col = ((s // r_stack) * (r_stack * 2 * d)
+                               + plane * (r_stack * d) + (s % r_stack) * d
+                               + p)
+                    else:
+                        col = s * 2 * d + p * 2 + plane
                     row0 = r * 2 * c_eff
                     g[row0:row0 + c_cnt, col] = \
                         kernel_np[0::2, plane, k * d + p]
@@ -155,20 +166,109 @@ def _g_matrix_stacked(kernel_np, decimation, c_eff, r_stack, groups):
     return g
 
 
-def _xq_prep(buf, d, r_stack, n_coarse_total):
-    """Planar (Nb,) RF -> xq (R*2D, n_coarse_total) with
-    xq[u*2D + p*2 + plane, J] = plane(x[(J*R + u)*D + p])."""
+def _xq_prep(buf, d, r_stack, n_coarse_total, mode="flat"):
+    """Planar (Nb,) RF -> windowable input in one of three layouts with
+    logical value xq[u*2D + p*2 + plane, J] = plane(x[(J*R + u)*D + p]):
+
+      'flat'  — (R*2D, n_coarse_total): the direct form, but producing it
+                costs a narrow (n_coarse, 32) -> (32, n_coarse) XLA
+                transpose measured at ~160 us / 2^20 samples on v5e
+                (~47% of the whole fused step; benchmarks/ablate_chain.py).
+      't32'   — (n_coarse_total, R*2D): no XLA transpose at all (the
+                interleave fuses into one cheap pass); the kernel
+                transposes each block in VMEM.
+      'tiled' — (n_coarse_total/128, R*2D, 128): XLA does only batched
+                128x(R*2D) tile-local transposes; the kernel lane-concats
+                the tiles with no relayout.
+      'nt'    — a PAIR of (n_coarse_total, R*D) planes (re, im): pad +
+                free reshape ONLY — no XLA relayout of any kind (measured:
+                every narrow-minor-dim XLA op above runs at 1/8-1/4 lane
+                efficiency, ~160 us / 2^20 samples; this mode is ~0). The
+                kernel lane-concats the planes and contracts the window
+                matrix TRANSPOSED via an NT dot_general (MXU hardware
+                takes the transposed RHS). Requires 'planar' G' order.
+    """
     rows = r_stack * 2 * d
     need = n_coarse_total * r_stack * d
     n = buf.shape[-1]
     xr = jnp.pad(buf.re, (0, max(0, need - n)))[:need]
     xi = jnp.pad(buf.im, (0, max(0, need - n)))[:need]
+    if mode == "nt":
+        return (xr.reshape(n_coarse_total, r_stack * d),
+                xi.reshape(n_coarse_total, r_stack * d))
     xp = jnp.stack(
         [xr.reshape(n_coarse_total, r_stack * d),
          xi.reshape(n_coarse_total, r_stack * d)],
         axis=-1,
     ).reshape(n_coarse_total, rows)
+    if mode == "t32":
+        return xp
+    if mode == "tiled":
+        return xp.reshape(-1, _LANE, rows).transpose(0, 2, 1)
     return xp.T
+
+
+def _n_xq_parts(xq_mode):
+    """How many pallas operands carry the window input (and halo each)."""
+    return 2 if xq_mode == "nt" else 1
+
+
+def _build_v(xq_refs, halo_refs, xq_mode):
+    """Window source from the mode-specific block refs: (R*2D, bn + 128)
+    for the dot-from-the-left modes, or TRANSPOSED (bn + 128, R*2D) for
+    'nt' (consumed by the NT dot_general)."""
+    if xq_mode == "nt":
+        xr, xi = xq_refs
+        hr, hi = halo_refs
+        return jnp.concatenate(
+            [jnp.concatenate([xr[:, :], xi[:, :]], axis=1),
+             jnp.concatenate([hr[:, :], hi[:, :]], axis=1)], axis=0)
+    (xq_ref,), (halo_ref,) = xq_refs, halo_refs
+    if xq_mode == "flat":
+        return jnp.concatenate([xq_ref[:, :], halo_ref[:, :]], axis=1)
+    if xq_mode == "t32":
+        return jnp.concatenate([xq_ref[:, :], halo_ref[:, :]], axis=0).T
+    parts = [xq_ref[t] for t in range(xq_ref.shape[0])] + [halo_ref[0]]
+    return jnp.concatenate(parts, axis=1)
+
+
+def _xq_specs(xq_mode, rows, bn):
+    """([xq BlockSpecs], [halo BlockSpecs]) for the chosen input layout."""
+    vm = pltpu.VMEM
+    if xq_mode == "nt":
+        rd = rows // 2
+        xs = pl.BlockSpec((bn, rd), lambda i: (i, 0), memory_space=vm)
+        hs = pl.BlockSpec((_LANE, rd),
+                          lambda i: ((i * bn) // _LANE + bn // _LANE, 0),
+                          memory_space=vm)
+        return [xs, xs], [hs, hs]
+    if xq_mode == "flat":
+        return ([pl.BlockSpec((rows, bn), lambda i: (0, i),
+                              memory_space=vm)],
+                [pl.BlockSpec((rows, _LANE),
+                              lambda i: (0, (i * bn) // _LANE + bn // _LANE),
+                              memory_space=vm)])
+    if xq_mode == "t32":
+        return ([pl.BlockSpec((bn, rows), lambda i: (i, 0),
+                              memory_space=vm)],
+                [pl.BlockSpec((_LANE, rows),
+                              lambda i: ((i * bn) // _LANE + bn // _LANE, 0),
+                              memory_space=vm)])
+    return ([pl.BlockSpec((bn // _LANE, rows, _LANE), lambda i: (i, 0, 0),
+                          memory_space=vm)],
+            [pl.BlockSpec((1, rows, _LANE),
+                          lambda i: ((i * bn) // _LANE + bn // _LANE, 0, 0),
+                          memory_space=vm)])
+
+
+def _n_coarse_of(xq, xq_mode):
+    """Total coarse-column count of a mode-laid-out xq array (for 'nt',
+    pass one of the two plane arrays)."""
+    if xq_mode == "flat":
+        return xq.shape[1]
+    if xq_mode in ("t32", "nt"):
+        return xq.shape[0]
+    return xq.shape[0] * _LANE
 
 
 def _split_g(g, precision):
@@ -182,29 +282,53 @@ def _split_g(g, precision):
     return jnp.asarray(g), jnp.asarray(np.zeros_like(g)), "f32"
 
 
-def _window_dot(xq_ref, halo_ref, gh_ref, gl_ref, w_ref, bn, groups, rows,
-                f32_dot):
-    """Build W' (K, BN) from ``groups`` full-height shifted copies of the
-    coarse-column phase-split input and contract with the stacked tap bank
-    (bf16x3 / bf16x2 / exact f32). Shared by the FM and AM fused kernels."""
-    v = jnp.concatenate([xq_ref[:, :], halo_ref[:, :]], axis=1)
+_NT_DIMS = (((1,), (1,)), ((), ()))  # contract lhs dim1 x rhs dim1 (A @ B^T)
+
+
+def _window_dot(v, gh_ref, gl_ref, w_ref, bn, groups, rows, f32_dot,
+                nt=False):
+    """Contract the stacked tap bank with ``groups`` full-height shifted
+    copies of the window source ``v`` (from _build_v), as bf16x3 / bf16x2 /
+    exact f32. Shared by the FM and AM fused kernels.
+
+    nt=False: v is (R*2D, bn+128); W' (K, bn) built by LANE-shifted copies,
+    y = G' @ W'. nt=True: v is TRANSPOSED (bn+128, R*2D); W'^T (bn, K)
+    built by SUBLANE-shifted copies and contracted as an NT dot_general —
+    the MXU consumes the transposed RHS natively, so no transpose exists
+    anywhere on the path (the point of the 'nt' input mode)."""
     # W goes through scratch on purpose: building it as one concatenated
     # value crashes Mosaic's compiler at these sizes (tpu_compile_helper
     # exit 1), while per-shift scratch stores lower cleanly
-    for g in range(groups):
-        w_ref[g * rows:(g + 1) * rows, :] = v[:, g:g + bn]
+    if nt:
+        for g in range(groups):
+            w_ref[:, g * rows:(g + 1) * rows] = v[g:g + bn, :]
+    else:
+        for g in range(groups):
+            w_ref[g * rows:(g + 1) * rows, :] = v[:, g:g + bn]
     w = w_ref[:, :]
+
+    def dot(a, b):
+        if nt:
+            return jax.lax.dot_general(
+                a, b, _NT_DIMS, preferred_element_type=jnp.float32)
+        return jnp.dot(a, b, preferred_element_type=jnp.float32)
+
     if f32_dot == "f32":
         # HIGHEST is load-bearing: Mosaic's dot defaults to bf16 multiply
         # even for f32 operands (measured 2.6e-3 rel err on HW without it)
+        if nt:
+            return jax.lax.dot_general(
+                gh_ref[:, :], w, _NT_DIMS,
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)
         return jnp.dot(gh_ref[:, :], w, preferred_element_type=jnp.float32,
                        precision=jax.lax.Precision.HIGHEST)
     wh = w.astype(jnp.bfloat16)
-    y = jnp.dot(gh_ref[:, :], wh, preferred_element_type=jnp.float32)
-    y += jnp.dot(gl_ref[:, :], wh, preferred_element_type=jnp.float32)
+    y = dot(gh_ref[:, :], wh)
+    y += dot(gl_ref[:, :], wh)
     if f32_dot == "bf16x3":
         wl = (w - wh.astype(jnp.float32)).astype(jnp.bfloat16)
-        y += jnp.dot(gh_ref[:, :], wl, preferred_element_type=jnp.float32)
+        y += dot(gh_ref[:, :], wl)
     # bf16x2: signal quantized to bf16 (~0.2% = -54 dB, below RF ADC noise
     # floors), taps still hi+lo exact — one fewer MXU pass than bf16x3
     return y
@@ -214,16 +338,19 @@ def _window_dot(xq_ref, halo_ref, gh_ref, gl_ref, w_ref, bn, groups, rows,
 # AM fused chain
 # ---------------------------------------------------------------------------
 
-def _am_chain_kernel(xq_ref, halo_ref, gh_ref, gl_ref, audio_ref, w_ref, *,
-                     groups, rows, c_eff, r_stack, f32_dot):
+def _am_chain_kernel(*refs, groups, rows, c_eff, r_stack, f32_dot, xq_mode):
     """Fused AM chain: stacked windows+dot + envelope 2*clamp(|.|,0,1)-1
     (the reference's fused k_Am, /root/reference/src/am.cu:21-50). The LO
     window-start rotor is a unit phasor and the envelope is magnitude-only,
     so the rotor drops out entirely — the mixing inside the filter window
     is already in the complex tap bank."""
+    nx = _n_xq_parts(xq_mode)
+    xq_refs, halo_refs = refs[:nx], refs[nx:2 * nx]
+    gh_ref, gl_ref, audio_ref, w_ref = refs[2 * nx:]
     bn = audio_ref.shape[1]
-    y = _window_dot(xq_ref, halo_ref, gh_ref, gl_ref, w_ref, bn,
-                    groups, rows, f32_dot)
+    v = _build_v(xq_refs, halo_refs, xq_mode)
+    y = _window_dot(v, gh_ref, gl_ref, w_ref, bn, groups, rows, f32_dot,
+                    nt=xq_mode == "nt")
     for r in range(r_stack):
         row0 = r * 2 * c_eff
         y_re = y[row0:row0 + c_eff, :]
@@ -236,33 +363,33 @@ def _am_chain_kernel(xq_ref, halo_ref, gh_ref, gl_ref, audio_ref, w_ref, *,
 @functools.partial(
     jax.jit,
     static_argnames=("block_n", "groups", "rows", "c_eff", "r_stack",
-                     "f32_dot", "interpret"))
+                     "f32_dot", "interpret", "xq_mode"))
 def _run_am(xq, gh, gl, *, block_n, groups, rows, c_eff, r_stack, f32_dot,
-            interpret):
-    _, n_coarse_total = xq.shape
+            interpret, xq_mode="flat"):
+    xq_parts = xq if isinstance(xq, tuple) else (xq,)
+    n_coarse_total = _n_coarse_of(xq_parts[0], xq_mode)
     k_rows = gh.shape[1]
     n_out = n_coarse_total - _LANE
     bn = block_n
     kernel = functools.partial(_am_chain_kernel, groups=groups, rows=rows,
-                               c_eff=c_eff, r_stack=r_stack, f32_dot=f32_dot)
+                               c_eff=c_eff, r_stack=r_stack, f32_dot=f32_dot,
+                               xq_mode=xq_mode)
     vm = pltpu.VMEM
+    xq_specs, halo_specs = _xq_specs(xq_mode, rows, bn)
+    w_shape = (bn, k_rows) if xq_mode == "nt" else (k_rows, bn)
     return pl.pallas_call(
         kernel,
         grid=(n_out // bn,),
-        in_specs=[
-            pl.BlockSpec((rows, bn), lambda i: (0, i), memory_space=vm),
-            pl.BlockSpec((rows, _LANE),
-                         lambda i: (0, (i * bn) // _LANE + bn // _LANE),
-                         memory_space=vm),
+        in_specs=list(xq_specs) + list(halo_specs) + [
             pl.BlockSpec(gh.shape, lambda i: (0, 0), memory_space=vm),
             pl.BlockSpec(gl.shape, lambda i: (0, 0), memory_space=vm),
         ],
         out_specs=pl.BlockSpec((r_stack * c_eff, bn), lambda i: (0, i),
                                memory_space=vm),
         out_shape=jax.ShapeDtypeStruct((r_stack * c_eff, n_out), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((k_rows, bn), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM(w_shape, jnp.float32)],
         interpret=interpret,
-    )(xq, xq, gh, gl)
+    )(*xq_parts, *xq_parts, gh, gl)
 
 
 def _pad_bank(kernel_np, c_eff):
@@ -285,7 +412,7 @@ def _unstack(audio, c_eff, c_cnt, r_stack, m):
 
 
 def am_chain_pallas(buf, kernel_bank, decimation, block_n=2048,
-                    precision="bf16x3", interpret=False):
+                    precision="bf16x3", interpret=False, xq_mode="nt"):
     """Fused AM chain over a tail-prepended planar RF buffer.
 
     Returns audio (C, M) float32 in [-1, 1]; M = (Nb - T)//D + 1. No
@@ -305,12 +432,14 @@ def am_chain_pallas(buf, kernel_bank, decimation, block_n=2048,
     rows = r_stack * 2 * d
     n_j = m_eff // r_stack
     bn = _pick_bn(n_j, block_n)
-    xq = _xq_prep(buf, d, r_stack, n_j + _LANE)
-    g = _g_matrix_stacked(_pad_bank(kh, c_eff), d, c_eff, r_stack, groups)
+    xq = _xq_prep(buf, d, r_stack, n_j + _LANE, mode=xq_mode)
+    g = _g_matrix_stacked(_pad_bank(kh, c_eff), d, c_eff, r_stack, groups,
+                          order="planar" if xq_mode == "nt"
+                          else "interleaved")
     gh, gl, f32_dot = _split_g(g, precision)
     audio = _run_am(xq, gh, gl, block_n=bn, groups=groups, rows=rows,
                     c_eff=c_eff, r_stack=r_stack, f32_dot=f32_dot,
-                    interpret=interpret)
+                    interpret=interpret, xq_mode=xq_mode)
     return _unstack(audio, c_eff, c_cnt, r_stack, m)
 
 
@@ -318,12 +447,14 @@ def am_chain_pallas(buf, kernel_bank, decimation, block_n=2048,
 # FM fused chain
 # ---------------------------------------------------------------------------
 
-def _fm_chain_kernel(xq_ref, halo_ref, gh_ref, gl_ref, base_ref, bt_ref,
-                     pj_ref, spow_ref, jpow_ref, fcar0_ref, zcar0_ref,
-                     audio_ref, fcar_ref, zcar_ref,
-                     w_ref, carry_ref, *,
+def _fm_chain_kernel(*refs,
                      groups, rows, c_eff, r_stack, gain, b0, cc, a_pole,
-                     log_bn, f32_dot, ablate="full"):
+                     log_bn, f32_dot, xq_mode, ablate="full"):
+    nx = _n_xq_parts(xq_mode)
+    xq_refs, halo_refs = refs[:nx], refs[nx:2 * nx]
+    (gh_ref, gl_ref, base_ref, bt_ref, pj_ref, spow_ref, jpow_ref,
+     fcar0_ref, zcar0_ref, audio_ref, fcar_ref, zcar_ref,
+     w_ref, carry_ref) = refs[2 * nx:]
     bn = audio_ref.shape[1]
     i = pl.program_id(0)
     n_i = pl.num_programs(0)
@@ -349,8 +480,9 @@ def _fm_chain_kernel(xq_ref, halo_ref, gh_ref, gl_ref, base_ref, bt_ref,
         carry_ref[:, 2:3] = zcar0_ref[:, :]
 
     # ---- 1) stacked windows + tap-bank contraction -----------------------
-    y = _window_dot(xq_ref, halo_ref, gh_ref, gl_ref, w_ref, bn,
-                    groups, rows, f32_dot)
+    v = _build_v(xq_refs, halo_refs, xq_mode)
+    y = _window_dot(v, gh_ref, gl_ref, w_ref, bn, groups, rows, f32_dot,
+                    nt=xq_mode == "nt")
     if ablate == "dot":
         return _early_out([y])
 
@@ -449,11 +581,12 @@ def _fm_chain_kernel(xq_ref, halo_ref, gh_ref, gl_ref, base_ref, bt_ref,
     jax.jit,
     static_argnames=("block_n", "groups", "rows", "c_eff", "r_stack",
                      "gain", "b0", "cc", "a1", "f32_dot", "interpret",
-                     "ablate"))
+                     "ablate", "xq_mode"))
 def _run_chain(base, xq, gh, gl, bt, pj, fcar0, zcar0, *,
                block_n, groups, rows, c_eff, r_stack, gain, b0, cc, a1,
-               f32_dot, interpret, ablate="full"):
-    _, n_coarse_total = xq.shape
+               f32_dot, interpret, ablate="full", xq_mode="flat"):
+    xq_parts = xq if isinstance(xq, tuple) else (xq,)
+    n_coarse_total = _n_coarse_of(xq_parts[0], xq_mode)
     k_rows = gh.shape[1]
     n_out = n_coarse_total - _LANE
     bn = block_n
@@ -470,18 +603,16 @@ def _run_chain(base, xq, gh, gl, bt, pj, fcar0, zcar0, *,
     kernel = functools.partial(
         _fm_chain_kernel, groups=groups, rows=rows, c_eff=c_eff,
         r_stack=r_stack, gain=gain, b0=b0, cc=cc, a_pole=a,
-        log_bn=log_bn, f32_dot=f32_dot, ablate=ablate)
+        log_bn=log_bn, f32_dot=f32_dot, xq_mode=xq_mode, ablate=ablate)
 
     n_blk = n_out // bn
     vm = pltpu.VMEM
+    xq_specs, halo_specs = _xq_specs(xq_mode, rows, bn)
+    w_shape = (bn, k_rows) if xq_mode == "nt" else (k_rows, bn)
     return pl.pallas_call(
         kernel,
         grid=(n_blk,),
-        in_specs=[
-            pl.BlockSpec((rows, bn), lambda i: (0, i), memory_space=vm),
-            pl.BlockSpec((rows, _LANE),
-                         lambda i: (0, (i * bn) // _LANE + bn // _LANE),
-                         memory_space=vm),
+        in_specs=list(xq_specs) + list(halo_specs) + [
             pl.BlockSpec(gh.shape, lambda i: (0, 0), memory_space=vm),
             pl.BlockSpec(gl.shape, lambda i: (0, 0), memory_space=vm),
             pl.BlockSpec((c_eff, 2), lambda i: (0, 0), memory_space=vm),
@@ -506,12 +637,12 @@ def _run_chain(base, xq, gh, gl, bt, pj, fcar0, zcar0, *,
             jax.ShapeDtypeStruct((c_eff, 1), jnp.float32),
         ),
         scratch_shapes=[
-            pltpu.VMEM((k_rows, bn), jnp.float32),
+            pltpu.VMEM(w_shape, jnp.float32),
             pltpu.VMEM((c_eff, 8), jnp.float32),
         ],
         interpret=interpret,
-    )(xq, xq, gh, gl, base, bt, pj, jnp.asarray(spow), jnp.asarray(jpow),
-      fcar0, zcar0)
+    )(*xq_parts, *xq_parts, gh, gl, base, bt, pj, jnp.asarray(spow),
+      jnp.asarray(jpow), fcar0, zcar0)
 
 
 def _phasor_tables(shifts_hz, sample_rate, dec, r_stack, bn, n_blk):
@@ -560,7 +691,8 @@ def _phasor_tables(shifts_hz, sample_rate, dec, r_stack, bn, n_blk):
 def fm_chain_pallas(buf, kernel_bank, lo_table, n0_rot, decimation, gain,
                     deemph_b, deemph_a, carry_f, carry_z, shifts_hz=None,
                     sample_rate=None,
-                    block_n=2048, precision="bf16x3", interpret=False):
+                    block_n=2048, precision="bf16x3", interpret=False,
+                    xq_mode="nt"):
     """Run the fused chain over a tail-prepended planar RF buffer.
 
     Args:
@@ -595,8 +727,10 @@ def fm_chain_pallas(buf, kernel_bank, lo_table, n0_rot, decimation, gain,
     rows = r_stack * 2 * d
     n_j = m // r_stack
     bn = _pick_bn(n_j, block_n)
-    xq = _xq_prep(buf, d, r_stack, n_j + _LANE)
-    g = _g_matrix_stacked(_pad_bank(kh, c_eff), d, c_eff, r_stack, groups)
+    xq = _xq_prep(buf, d, r_stack, n_j + _LANE, mode=xq_mode)
+    g = _g_matrix_stacked(_pad_bank(kh, c_eff), d, c_eff, r_stack, groups,
+                          order="planar" if xq_mode == "nt"
+                          else "interleaved")
     gh, gl, f32_dot = _split_g(g, precision)
 
     b0 = float(deemph_b[0]) / float(deemph_a[0])
@@ -631,7 +765,7 @@ def fm_chain_pallas(buf, kernel_bank, lo_table, n0_rot, decimation, gain,
         fcar0, zcar0,
         block_n=bn, groups=groups, rows=rows, c_eff=c_eff, r_stack=r_stack,
         gain=float(gain), b0=b0, cc=cc, a1=a1,
-        f32_dot=f32_dot, interpret=interpret)
+        f32_dot=f32_dot, interpret=interpret, xq_mode=xq_mode)
     new_f = ComplexArray(fcar[:c_cnt, 0:1], fcar[:c_cnt, 1:2])
     return (_unstack(audio, c_eff, c_cnt, r_stack, m), new_f,
             zcar[:c_cnt])

@@ -48,6 +48,20 @@ class TestChannelizePallas:
         err = np.max(np.abs(got.to_numpy() - want.to_numpy())) / scale
         assert err < 3e-4, err
 
+    @pytest.mark.parametrize("xq_mode", ["flat", "t32", "tiled", "nt"])
+    def test_xq_modes_agree(self, xq_mode):
+        """The three kernel input layouts (round-3 xq-prep-transpose
+        elimination) compute identical windows."""
+        x = _planar(5000)
+        taps = RNG.standard_normal(64).astype(np.float32) * 0.2
+        kernel = make_complex_tap_bank(taps, [12_345.0, -5_000.0], FS)
+        want = mix_fir_decimate_bank(x, kernel, 4)
+        got = mix_fir_decimate_bank_pallas(x, kernel, 4, interpret=True,
+                                           xq_mode=xq_mode)
+        scale = np.max(np.abs(want.to_numpy())) + 1e-9
+        err = np.max(np.abs(got.to_numpy() - want.to_numpy())) / scale
+        assert err < 3e-4, (xq_mode, err)
+
     def test_unsupported_configs_rejected(self):
         assert not pallas_supported(3, 64)   # T % D != 0
         # round-2 stacked layout: D in {1, 2} ARE supported now
