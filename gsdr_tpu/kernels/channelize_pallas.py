@@ -85,6 +85,7 @@ def _run(xq, gh, gl, *, block_n, groups, rows, c_eff, r_stack, f32_dot,
     vm = pltpu.VMEM
     xq_specs, halo_specs = _xq_specs(xq_mode, rows, bn)
     w_shape = (bn, k_rows) if xq_mode == "nt" else (k_rows, bn)
+    w_dtype = jnp.bfloat16 if f32_dot == "bf16x2" else jnp.float32
     return pl.pallas_call(
         kernel,
         grid=(n_out // bn,),
@@ -96,7 +97,7 @@ def _run(xq, gh, gl, *, block_n, groups, rows, c_eff, r_stack, f32_dot,
                                memory_space=vm),
         out_shape=jax.ShapeDtypeStruct((r_stack * 2 * c_eff, n_out),
                                        jnp.float32),
-        scratch_shapes=[pltpu.VMEM(w_shape, jnp.float32)],
+        scratch_shapes=[pltpu.VMEM(w_shape, w_dtype)],
         interpret=interpret,
     )(*xq_parts, *xq_parts, gh, gl)
 

@@ -295,10 +295,17 @@ def _window_dot(v, gh_ref, gl_ref, w_ref, bn, groups, rows, f32_dot,
     y = G' @ W'. nt=True: v is TRANSPOSED (bn+128, R*2D); W'^T (bn, K)
     built by SUBLANE-shifted copies and contracted as an NT dot_general —
     the MXU consumes the transposed RHS natively, so no transpose exists
-    anywhere on the path (the point of the 'nt' input mode)."""
+    anywhere on the path (the point of the 'nt' input mode).
+
+    bf16x2 passes a bf16 ``w_ref``: the window scratch is built directly
+    in bf16 (the signal operand is quantized anyway in this grade), which
+    halves the vreg traffic of the narrow 32-lane W build."""
+    if w_ref.dtype == jnp.bfloat16:
+        v = v.astype(jnp.bfloat16)
     # W goes through scratch on purpose: building it as one concatenated
-    # value crashes Mosaic's compiler at these sizes (tpu_compile_helper
-    # exit 1), while per-shift scratch stores lower cleanly
+    # value crashes Mosaic's compiler at these sizes in BOTH orientations
+    # (tpu_compile_helper exit 1; re-verified for the nt lane-concat form),
+    # while per-shift scratch stores lower cleanly.
     if nt:
         for g in range(groups):
             w_ref[:, g * rows:(g + 1) * rows] = v[g:g + bn, :]
@@ -377,6 +384,7 @@ def _run_am(xq, gh, gl, *, block_n, groups, rows, c_eff, r_stack, f32_dot,
     vm = pltpu.VMEM
     xq_specs, halo_specs = _xq_specs(xq_mode, rows, bn)
     w_shape = (bn, k_rows) if xq_mode == "nt" else (k_rows, bn)
+    w_dtype = jnp.bfloat16 if f32_dot == "bf16x2" else jnp.float32
     return pl.pallas_call(
         kernel,
         grid=(n_out // bn,),
@@ -387,7 +395,7 @@ def _run_am(xq, gh, gl, *, block_n, groups, rows, c_eff, r_stack, f32_dot,
         out_specs=pl.BlockSpec((r_stack * c_eff, bn), lambda i: (0, i),
                                memory_space=vm),
         out_shape=jax.ShapeDtypeStruct((r_stack * c_eff, n_out), jnp.float32),
-        scratch_shapes=[pltpu.VMEM(w_shape, jnp.float32)],
+        scratch_shapes=[pltpu.VMEM(w_shape, w_dtype)],
         interpret=interpret,
     )(*xq_parts, *xq_parts, gh, gl)
 
@@ -609,6 +617,7 @@ def _run_chain(base, xq, gh, gl, bt, pj, fcar0, zcar0, *,
     vm = pltpu.VMEM
     xq_specs, halo_specs = _xq_specs(xq_mode, rows, bn)
     w_shape = (bn, k_rows) if xq_mode == "nt" else (k_rows, bn)
+    w_dtype = jnp.bfloat16 if f32_dot == "bf16x2" else jnp.float32
     return pl.pallas_call(
         kernel,
         grid=(n_blk,),
@@ -637,7 +646,7 @@ def _run_chain(base, xq, gh, gl, bt, pj, fcar0, zcar0, *,
             jax.ShapeDtypeStruct((c_eff, 1), jnp.float32),
         ),
         scratch_shapes=[
-            pltpu.VMEM(w_shape, jnp.float32),
+            pltpu.VMEM(w_shape, w_dtype),
             pltpu.VMEM((c_eff, 8), jnp.float32),
         ],
         interpret=interpret,

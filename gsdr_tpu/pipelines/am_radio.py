@@ -41,6 +41,10 @@ class AmReceiver:
     # 'auto' (fused single-kernel chain on TPU when the shape supports it,
     # measured 16x the XLA conv path) | 'xla' | 'pallas'
     impl: str = "auto"
+    # fused-kernel contraction grade: 'bf16x3' (~1e-4 rel, default) |
+    # 'bf16x2' (fast: one fewer MXU pass + bf16 window scratch; signal
+    # quantized to bf16 ~ -54 dB, below RF ADC noise floors) | 'f32' exact
+    precision: str = "bf16x3"
 
     @property
     def num_channels(self):
@@ -99,7 +103,8 @@ class AmReceiver:
         if use_pallas:
             # single fused kernel (windows+dot+envelope; the rotor cancels
             # under magnitude) — kernels/fm_chain_pallas.am_chain_pallas
-            audio = am_chain_pallas(buf, self._tap_bank(), self.decimation)
+            audio = am_chain_pallas(buf, self._tap_bank(), self.decimation,
+                        precision=self.precision)
             new_tail = buf[..., buf.shape[-1] - (t - 1):]
             n0_new = (n0 + jnp.int32(n % fs)) % fs
             return (n0_new, new_tail), audio

@@ -75,6 +75,10 @@ class FmChannelizer:
     # 'auto' (fused single-kernel chain on TPU when the shape supports it)
     # | 'xla' | 'pallas'
     impl: str = "auto"
+    # fused-kernel contraction grade: 'bf16x3' (~1e-4 rel, default) |
+    # 'bf16x2' (fast: one fewer MXU pass + bf16 window scratch; signal
+    # quantized to bf16 ~ -54 dB, below RF ADC noise floors) | 'f32' exact
+    precision: str = "bf16x3"
 
     # -- derived (host-side) -------------------------------------------------
     @property
@@ -164,7 +168,8 @@ class FmChannelizer:
                 self.decimation, self.gain, b_, a_,
                 disc_carry, deemph_zi,
                 shifts_hz=tuple(self._shifts()),
-                sample_rate=self.sample_rate)
+                sample_rate=self.sample_rate,
+                precision=self.precision)
             new_tail = buf[..., buf.shape[-1] - (t - 1):]
             n0_new = (n0 + jnp.int32(n % fs)) % fs
             return (n0_new, new_tail, new_carry, new_zi), audio

@@ -144,6 +144,20 @@ class TestFusedFmChain:
         assert np.max(
             np.abs(np.asarray(y_cont) - np.asarray(y_ref))) / scale < 5e-3
 
+    def test_fast_precision_grade(self):
+        """precision='bf16x2' on the model config: one fewer MXU pass and
+        a bf16 window scratch; audio within bf16-signal tolerance."""
+        import dataclasses as dc
+        m_xla, m_pal = self._models()
+        m_fast = dc.replace(m_pal, precision="bf16x2")
+        rf = self._fm_rf(m_xla, 4096)
+        _, y_ref = m_xla.step(m_xla.init(), rf)
+        _, y_fast = m_fast.step(m_fast.init(), rf)
+        y_ref, y_fast = np.asarray(y_ref), np.asarray(y_fast)
+        scale = np.max(np.abs(y_ref))
+        assert np.max(np.abs(y_ref[:, 256:] - y_fast[:, 256:])) / scale \
+            < 2e-2
+
     @pytest.mark.parametrize("decimation", [1, 2, 8])
     def test_decimation_coverage(self, decimation):
         """Round-2 gap closure: D in {1, 2} run fused (round 1 required
