@@ -46,7 +46,9 @@ def bench_am(n, iters):
         channel_frequencies=(100_000.0,), decimation=4,
         low_pass_taps=_lowpass(64, 0.05))
     rf = _noise(n)
-    sec = time_step(model.step, model.init(), rf, iters=iters)
+    # the fused AM chain is ~0.1 ms/step: needs many chained iters to
+    # rise above the ~35 ms dispatch floor
+    sec = time_step(model.step, model.init(), rf, iters=iters * 40)
     return {"metric": "am_demod_1ch_input_msps",
             "value": round(n / sec / 1e6, 2), "unit": "Msamples/s"}
 
@@ -86,7 +88,9 @@ def bench_shift_fir_fused(n, iters):
             ComplexArray(x.re + state, x.im), kernel, 4)
         return (jnp.sum(y.re) + jnp.sum(y.im)) * 1e-30, y
 
-    sec = time_step(step, jnp.float32(0.0), rf, iters=iters * 10)
+    # the nt-mode kernel is ~40-60 us/step at 2^20: needs ~1000 chained
+    # iters to rise above the tunnel's ~35 ms dispatch floor
+    sec = time_step(step, jnp.float32(0.0), rf, iters=iters * 100)
     return {"metric": "shift_fir64_dec4_fused_input_msps",
             "value": round(n / sec / 1e6, 2), "unit": "Msamples/s"}
 
@@ -125,7 +129,7 @@ def bench_pfb(n, iters, k=16, impl="xla"):
             ComplexArray(x.re + state, x.im), taps, k, impl=impl)
         return (jnp.sum(y.re) + jnp.sum(y.im)) * 1e-30, y
 
-    sec = time_step(step, jnp.float32(0.0), rf, iters=iters * 10)
+    sec = time_step(step, jnp.float32(0.0), rf, iters=iters * 40)
     return {"metric": f"pfb_{k}ch_{impl}_input_msps",
             "value": round(n / sec / 1e6, 2), "unit": "Msamples/s"}
 
@@ -207,21 +211,26 @@ def main(argv=None):
     n = 1 << 16 if args.quick else 1 << 20
     iters = 3 if args.quick else 10
 
-    results = [
-        bench_am(n, iters),
-        bench_shift_fir(n, iters),
-        bench_shift_fir_fused(n, iters),
-        bench_fm(n, iters, impl="xla"),
-        bench_fm(n, iters, impl="pallas"),
-        bench_fm(n, iters, impl="pallas", nch=64),
-        bench_pfb(n, iters, impl="xla"),
-        bench_pfb(n, iters, impl="pallas"),
-        bench_qpsk(n, iters),
-        bench_qpsk256(min(n, 1 << 19), iters),
-        bench_qpsk256(min(n, 1 << 19), iters, ctype=1),  # CIRCULAR NN
-        bench_iir(n, iters),
+    rows = [
+        lambda: bench_am(n, iters),
+        lambda: bench_shift_fir(n, iters),
+        lambda: bench_shift_fir_fused(n, iters),
+        lambda: bench_fm(n, iters, impl="xla"),
+        lambda: bench_fm(n, iters, impl="pallas"),
+        lambda: bench_fm(n, iters, impl="pallas", nch=64),
+        lambda: bench_pfb(n, iters, impl="xla"),
+        lambda: bench_pfb(n, iters, impl="pallas"),
+        lambda: bench_qpsk(n, iters),
+        lambda: bench_qpsk256(min(n, 1 << 19), iters),
+        lambda: bench_qpsk256(min(n, 1 << 19), iters, ctype=1),  # CIRC NN
+        lambda: bench_iir(n, iters),
     ]
-    for r in results:
+    # print as each row lands (a late failure must not eat earlier rows)
+    for row in rows:
+        try:
+            r = row()
+        except Exception as e:
+            r = {"error": str(e)[:160]}
         r["backend"] = jax.default_backend()
         print(json.dumps(r), flush=True)
 

@@ -86,16 +86,53 @@ def _check_table(constellation):
             "(build one with qpsk256_constellation)")
 
 
+def _modulate_select(symbols, re_vals, im_vals):
+    """Table lookup as an unrolled 256-constant select-sum.
+
+    TPU dynamic gathers from a 256-entry table lower to a per-element
+    dynamic-slice loop (measured 8.5 ms / 2^19 symbols = 62 Msym/s on
+    v5e); 256 scalar-constant selects are one fused VPU pass over the
+    symbols (~100 us). Bit-identical: selects the exact same table
+    values the gather would return."""
+    re = jnp.full(symbols.shape, float(re_vals[0]), jnp.float32)
+    im = jnp.full(symbols.shape, float(im_vals[0]), jnp.float32)
+    for k in range(1, 256):
+        m = symbols == k
+        re = jnp.where(m, float(re_vals[k]), re)
+        im = jnp.where(m, float(im_vals[k]), im)
+    return re, im
+
+
 def qpsk256_modulate(symbols, constellation):
-    """Symbol byte values (..., N) -> samples via table gather.
+    """Symbol byte values (..., N) -> samples via table lookup.
 
     Parity with gsdrQpsk256Modulate (src/qpsk256.cu:74-101); the 4x variant
     is a leading batch axis. Representation follows ``constellation``:
     complex64 table -> complex64 samples, planar table -> ComplexArray.
+
+    On non-CPU backends with a concrete table, the lookup runs as an
+    unrolled constant-select pass instead of a gather (see
+    _modulate_select); under a traced table it falls back to the gather.
     """
     _check_table(constellation)
     symbols = jnp.asarray(symbols).astype(jnp.int32)
-    if is_planar(constellation):
+    planar = is_planar(constellation)
+    if jax.default_backend() != "cpu":
+        try:
+            if planar:
+                re_vals = np.asarray(constellation.re)
+                im_vals = np.asarray(constellation.im)
+            else:
+                pts = np.asarray(constellation)
+                re_vals, im_vals = pts.real, pts.imag
+        except jax.errors.TracerArrayConversionError:
+            re_vals = None
+        if re_vals is not None:
+            re, im = _modulate_select(symbols, re_vals, im_vals)
+            if planar:
+                return ComplexArray(re, im)
+            return re + 1j * im
+    if planar:
         return ComplexArray(constellation.re[symbols], constellation.im[symbols])
     return jnp.asarray(constellation)[symbols]
 

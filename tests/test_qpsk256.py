@@ -236,3 +236,21 @@ class TestPallasDemod:
             x, const, out_dtype=jnp.int32, interpret=True))
         assert got.shape == (4, 333)
         np.testing.assert_array_equal(got, syms)
+
+
+def test_modulate_select_bit_identical_to_gather():
+    """The TPU constant-select lookup must return the exact table values
+    (it replaces the gather only as a lowering, never semantically)."""
+    from gsdr_tpu.ops.qpsk256 import _modulate_select, qpsk256_constellation
+    import numpy as np
+    import jax.numpy as jnp
+
+    for ctype in (0, 1):
+        tab = qpsk256_constellation(ctype, planar=True)
+        s = jnp.asarray(np.random.default_rng(5).integers(0, 256, 4096),
+                        jnp.int32)
+        re, im = _modulate_select(s, np.asarray(tab.re), np.asarray(tab.im))
+        np.testing.assert_array_equal(np.asarray(re),
+                                      np.asarray(tab.re)[np.asarray(s)])
+        np.testing.assert_array_equal(np.asarray(im),
+                                      np.asarray(tab.im)[np.asarray(s)])
