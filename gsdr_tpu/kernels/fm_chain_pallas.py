@@ -67,7 +67,8 @@ _MAX_LOG_BN = 16
 def _pick_r(c_eff, decimation):
     """Stacking factor R (power of two): at least the sublane-alignment
     minimum (R*2D % 8 == 0), then grown while the MXU M-fill win outweighs
-    the K-row overhead (G' gains R-1 shift rows)."""
+    the K-row overhead (G' gains R-1 shift rows), then further while the
+    window width R*2D is lane-inefficient."""
     d = int(decimation)
     r = 1
     while (r * 2 * d) % _SUB != 0:
@@ -76,6 +77,14 @@ def _pick_r(c_eff, decimation):
     # (2x win) for a (p+2R)/(p+R)-ish K cost (< 2x) — always worth it
     # until R*2C reaches 128.
     while r * 2 * c_eff < _LANE:
+        r *= 2
+    # keep growing (M spills past 128 — the MXU tiles M fine) while the
+    # window rows R*2D are narrower than 32 lanes: the per-block W build
+    # reads R*2D-lane slices, and 8-lane reads run at 1/16 VPU efficiency
+    # (measured: the 64-channel chain at R=1/rows=8 spent ~0.5 ms/step in
+    # the W build alone). Cap M expansion at 4 MXU tiles (512 rows) to
+    # bound VMEM.
+    while (r * 2 * d) < 32 and (2 * r) * 2 * c_eff <= 4 * _LANE:
         r *= 2
     return r
 
@@ -439,7 +448,10 @@ def am_chain_pallas(buf, kernel_bank, decimation, block_n=2048,
     c_eff, r_stack, groups, m_eff = geom
     rows = r_stack * 2 * d
     n_j = m_eff // r_stack
-    bn = _pick_bn(n_j, block_n)
+    # VMEM guard: full-height (R*2C, bn) temporaries (y, pj, f/m
+    # planes) must fit scoped VMEM — cap bn so R*2C*bn <= 512K f32
+    bn = _pick_bn(n_j, min(block_n,
+                           max(_LANE, (1 << 19) // (r_stack * 2 * c_eff))))
     xq = _xq_prep(buf, d, r_stack, n_j + _LANE, mode=xq_mode)
     g = _g_matrix_stacked(_pad_bank(kh, c_eff), d, c_eff, r_stack, groups,
                           order="planar" if xq_mode == "nt"
@@ -735,7 +747,10 @@ def fm_chain_pallas(buf, kernel_bank, lo_table, n0_rot, decimation, gain,
     c_eff, r_stack, groups, _ = geom
     rows = r_stack * 2 * d
     n_j = m // r_stack
-    bn = _pick_bn(n_j, block_n)
+    # VMEM guard: full-height (R*2C, bn) temporaries (y, pj, f/m
+    # planes) must fit scoped VMEM — cap bn so R*2C*bn <= 512K f32
+    bn = _pick_bn(n_j, min(block_n,
+                           max(_LANE, (1 << 19) // (r_stack * 2 * c_eff))))
     xq = _xq_prep(buf, d, r_stack, n_j + _LANE, mode=xq_mode)
     g = _g_matrix_stacked(_pad_bank(kh, c_eff), d, c_eff, r_stack, groups,
                           order="planar" if xq_mode == "nt"
