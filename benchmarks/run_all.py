@@ -144,14 +144,18 @@ def bench_qpsk(n, iters):
         from gsdr_tpu.ops.qpsk import qpsk_demodulate_symbols
         # integer data dependence on the carried state defeats CSE/hoisting
         d = (d + state.astype(jnp.int32)) % 4
-        re_t = jnp.array([1.0, -1.0, 1.0, -1.0], jnp.float32)
-        im_t = jnp.array([1.0, 1.0, -1.0, -1.0], jnp.float32)
-        s = ComplexArray(re_t[d], im_t[d])
+        # sign arithmetic, not a table gather (TPU tiny-table gathers
+        # lower to per-element dynamic slices; see ops/qpsk.py)
+        s = ComplexArray(
+            1.0 - 2.0 * jnp.bitwise_and(d, 1).astype(jnp.float32),
+            1.0 - 2.0 * (jnp.right_shift(d, 1) & 1).astype(jnp.float32))
         out = qpsk_demodulate_symbols(s)
         # full-output dependence: out[0]-only let XLA demodulate ONE symbol
         return (jnp.sum(out) % 1021).astype(jnp.float32), out
 
-    sec = time_step(step, jnp.zeros(()), data, iters=iters)
+    # sign-arithmetic mod/demod is ~5 us/step at 2^20 syms: needs ~10000
+    # chained iters to clear the dispatch floor
+    sec = time_step(step, jnp.zeros(()), data, iters=iters * 1000)
     return {"metric": "qpsk_loopback_msym_s",
             "value": round(n / sec / 1e6, 2), "unit": "Msymbols/s"}
 

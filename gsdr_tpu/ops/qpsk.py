@@ -75,10 +75,14 @@ def qpsk_modulate(packed_bits, amplitude=1.0, num_symbols=None, planar=False):
     """
     sym = unpack_2bit_symbols(packed_bits, num_symbols)
     a = float(amplitude)
-    # sign tables indexed by the 2-bit value; gathers stay in float32.
-    re_t = jnp.array([a, -a, a, -a], dtype=jnp.float32)
-    im_t = jnp.array([a, a, -a, -a], dtype=jnp.float32)
-    out = ComplexArray(re_t[sym], im_t[sym])
+    # The 4-point table is pure sign arithmetic: re flips on bit0, im on
+    # bit1 (00->(+,+), 01->(-,+), 10->(+,-), 11->(-,-)). Arithmetic
+    # instead of a table gather — TPU gathers from tiny tables lower to a
+    # per-element dynamic-slice loop (see qpsk256's _modulate_select) —
+    # and bit-identical (values are exactly +-a either way).
+    re = a * (1.0 - 2.0 * jnp.bitwise_and(sym, 1).astype(jnp.float32))
+    im = a * (1.0 - 2.0 * (jnp.right_shift(sym, 1) & 1).astype(jnp.float32))
+    out = ComplexArray(re, im)
     return out if planar else out.to_complex()
 
 
