@@ -180,7 +180,7 @@ def bench_qpsk256(n, iters, ctype=None):
         return (jnp.sum(out) % 1021).astype(jnp.float32), out
 
     name = "rect" if ctype == RECTANGULAR else "circ"
-    sec = time_step(step, jnp.zeros(()), syms, iters=iters * 20)
+    sec = time_step(step, jnp.zeros(()), syms, iters=iters * 200)
     return {"metric": f"qpsk256_loopback_{name}_msym_s",
             "value": round(n / sec / 1e6, 2), "unit": "Msymbols/s"}
 

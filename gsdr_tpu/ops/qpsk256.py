@@ -69,12 +69,17 @@ def qpsk256_constellation(constellation_type=RECTANGULAR, amplitude=1.0,
             idx += 1
     else:
         raise ValueError(f"unknown constellation type {constellation_type}")
+    # numpy on purpose (project convention for host-side constant tables):
+    # a numpy table stays concrete under an active jit trace, so the
+    # modulate fast path (np.asarray of the values) works even when the
+    # table is built inside a traced function (jnp.asarray there would
+    # produce a tracer and force the slow gather fallback).
     if planar:
         return ComplexArray(
-            jnp.asarray(pts.real.copy(), dtype=jnp.float32),
-            jnp.asarray(pts.imag.copy(), dtype=jnp.float32),
+            pts.real.copy().astype(np.float32),
+            pts.imag.copy().astype(np.float32),
         )
-    return jnp.asarray(pts)
+    return pts
 
 
 def _check_table(constellation):
