@@ -24,6 +24,7 @@ capability the TPU build adds beyond parity.
 
 import numpy as np
 
+import jax
 import jax.numpy as jnp
 from jax import lax
 
@@ -64,9 +65,16 @@ def pfb_channelize(x, taps, num_channels, impl="xla"):
     (the rotor e^{-2i pi cjK/K} = 1 at critical decimation), so the stacked
     single-kernel channelizer (kernels/channelize_pallas.py) runs it as one
     VMEM-resident matmul chain: no HBM fold intermediate, bf16x3 contraction
-    (~1e-4 relative; 1-D input only).
+    (~1e-4 relative; 1-D input only). 'auto' picks by the measured v5e
+    crossover: the dense bank does K*T MACs/frame vs the factorization's
+    T + K^2, so pallas wins at small K (12.8 vs 6.6 Gsps at K=16) and
+    loses once K is large (10.1 vs 15.4 at K=64) — pallas for K <= 32 on
+    TPU, xla otherwise.
     """
     k = int(num_channels)
+    if impl == "auto":
+        impl = ("pallas" if k <= 32 and jnp.ndim(getattr(x, "re", x)) == 1
+                and jax.default_backend() != "cpu" else "xla")
     if impl == "pallas":
         from gsdr_tpu.kernels.channelize_pallas import (
             mix_fir_decimate_bank_pallas,
