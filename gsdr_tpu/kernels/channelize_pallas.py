@@ -126,12 +126,10 @@ def mix_fir_decimate_bank_pallas(x, kernel, decimation, block_n=2048,
     c_eff, r_stack, groups, m_eff = geom
     rows = r_stack * 2 * d
     n_j = m_eff // r_stack
-    # VMEM guard: the widest per-block buffers are the (R*2C, bn)
-    # temporaries (y, pj, f/m planes) and the (bn, K) window scratch
-    # (K can exceed R*2C for wide-K shapes like high-D PFB grids) —
-    # cap bn so the larger of the two stays <= 512K f32
-    widest = max(r_stack * 2 * c_eff, groups * rows)
-    bn = _pick_bn(n_j, min(block_n, max(_LANE, (1 << 19) // widest)))
+    # VMEM guard (stateless conv: y + the (bn, K) window scratch):
+    # cap bn so ~ (1.5*R*2C + K) * bn f32 fits scoped VMEM
+    bn = _pick_bn(n_j, min(block_n, max(_LANE, 3_500_000 // (
+        3 * r_stack * 2 * c_eff // 2 + groups * rows))))
     xq = _xq_prep(x, d, r_stack, n_j + _LANE, mode=xq_mode)
     g = _g_matrix_stacked(_pad_bank(kh, c_eff), d, c_eff, r_stack, groups,
                           order="planar" if xq_mode == "nt"

@@ -448,12 +448,10 @@ def am_chain_pallas(buf, kernel_bank, decimation, block_n=2048,
     c_eff, r_stack, groups, m_eff = geom
     rows = r_stack * 2 * d
     n_j = m_eff // r_stack
-    # VMEM guard: the widest per-block buffers are the (R*2C, bn)
-    # temporaries (y, pj, f/m planes) and the (bn, K) window scratch
-    # (K can exceed R*2C for wide-K shapes like high-D PFB grids) —
-    # cap bn so the larger of the two stays <= 512K f32
-    widest = max(r_stack * 2 * c_eff, groups * rows)
-    bn = _pick_bn(n_j, min(block_n, max(_LANE, (1 << 19) // widest)))
+    # VMEM guard (AM: y + envelope temporaries + the (bn, K) window
+    # scratch): cap bn so ~ (2*R*2C + K) * bn f32 fits scoped VMEM
+    bn = _pick_bn(n_j, min(block_n, max(_LANE, 3_500_000 // (
+        2 * r_stack * 2 * c_eff + groups * rows))))
     xq = _xq_prep(buf, d, r_stack, n_j + _LANE, mode=xq_mode)
     g = _g_matrix_stacked(_pad_bank(kh, c_eff), d, c_eff, r_stack, groups,
                           order="planar" if xq_mode == "nt"
@@ -714,7 +712,7 @@ def _phasor_tables(shifts_hz, sample_rate, dec, r_stack, bn, n_blk):
 def fm_chain_pallas(buf, kernel_bank, lo_table, n0_rot, decimation, gain,
                     deemph_b, deemph_a, carry_f, carry_z, shifts_hz=None,
                     sample_rate=None,
-                    block_n=2048, precision="bf16x3", interpret=False,
+                    block_n=4096, precision="bf16x3", interpret=False,
                     xq_mode="nt"):
     """Run the fused chain over a tail-prepended planar RF buffer.
 
@@ -749,12 +747,13 @@ def fm_chain_pallas(buf, kernel_bank, lo_table, n0_rot, decimation, gain,
     c_eff, r_stack, groups, _ = geom
     rows = r_stack * 2 * d
     n_j = m // r_stack
-    # VMEM guard: the widest per-block buffers are the (R*2C, bn)
-    # temporaries (y, pj, f/m planes) and the (bn, K) window scratch
-    # (K can exceed R*2C for wide-K shapes like high-D PFB grids) —
-    # cap bn so the larger of the two stays <= 512K f32
-    widest = max(r_stack * 2 * c_eff, groups * rows)
-    bn = _pick_bn(n_j, min(block_n, max(_LANE, (1 << 19) // widest)))
+    # VMEM guard (FM: y, pj, rotor/disc/de-emph planes, audio + the
+    # (bn, K) window scratch; Mosaic liveness reuse measured ~4.5
+    # full-height arrays): cap bn so the block fits scoped VMEM.
+    # The flagship (R*2C=128, K=160) lands on bn=4096 (measured
+    # ~5 us/step faster than 2048; 8192 OOMs at 17.7M > 16M).
+    bn = _pick_bn(n_j, min(block_n, max(_LANE, 3_500_000 // (
+        9 * r_stack * 2 * c_eff // 2 + groups * rows))))
     xq = _xq_prep(buf, d, r_stack, n_j + _LANE, mode=xq_mode)
     g = _g_matrix_stacked(_pad_bank(kh, c_eff), d, c_eff, r_stack, groups,
                           order="planar" if xq_mode == "nt"
