@@ -75,9 +75,13 @@ class FmChannelizer:
     # 'auto' (fused single-kernel chain on TPU when the shape supports it)
     # | 'xla' | 'pallas'
     impl: str = "auto"
-    # fused-kernel contraction grade: 'bf16x3' (~1e-4 rel, default) |
-    # 'bf16x2' (fast: one fewer MXU pass + bf16 window scratch; signal
-    # quantized to bf16 ~ -54 dB, below RF ADC noise floors) | 'f32' exact
+    # fused-kernel contraction grade: 'bf16x3' (default) | 'bf16x2'
+    # (fast: one fewer MXU pass; signal quantized to bf16 ~ -54 dB, below
+    # RF ADC noise floors) | 'f32' (exact contraction, ~15% slower).
+    # Measured v5e (16ch/64tap/dec4/2^20): bf16x3 ~241 us, bf16x2 ~240,
+    # f32 ~282; ALL grades agree with the XLA f32 reference to ~4e-5 —
+    # the floor is the polynomial atan2 (~1e-6 rad) and rotor-table
+    # differences, not contraction precision.
     precision: str = "bf16x3"
 
     # -- derived (host-side) -------------------------------------------------
