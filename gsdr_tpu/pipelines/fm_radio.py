@@ -77,11 +77,12 @@ class FmChannelizer:
     impl: str = "auto"
     # fused-kernel contraction grade: 'bf16x3' (default) | 'bf16x2'
     # (fast: one fewer MXU pass; signal quantized to bf16 ~ -54 dB, below
-    # RF ADC noise floors) | 'f32' (exact contraction, ~15% slower).
-    # Measured v5e (16ch/64tap/dec4/2^20): bf16x3 ~241 us, bf16x2 ~240,
-    # f32 ~282; ALL grades agree with the XLA f32 reference to ~4e-5 —
-    # the floor is the polynomial atan2 (~1e-6 rad) and rotor-table
-    # differences, not contraction precision.
+    # RF ADC noise floors) | 'f32' (exact contraction). Measured v5e
+    # (16ch/64tap/dec4/2^20, full-lane R=16 geometry): bf16x2 129 us
+    # (8.1 Gsps), bf16x3 151 us (6.9 Gsps), f32 192 us (5.5 Gsps).
+    # bf16x3 and f32 agree with the XLA f32 reference equally (~4e-5:
+    # the floor is the polynomial atan2 ~1e-6 rad and rotor-table
+    # evaluation order, not contraction precision); bf16x2 ~7e-4.
     precision: str = "bf16x3"
 
     # -- derived (host-side) -------------------------------------------------
