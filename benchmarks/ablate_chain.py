@@ -107,7 +107,11 @@ def main():
                 fcp._pad_bank(np.asarray(model._tap_bank()), c_eff), d,
                 c_eff, r_stack, geom["groups"], order="planar")
             gh_m, gl_m, _ = fcp._split_g(g_m, "bf16x3")
-        bn = fcp._pick_bn(n_j, block_n)
+        # same VMEM-aware cap as the production FM wrapper
+        k_rows = geom["groups"] * geom["rows"]
+        cap = max(fcp._LANE,
+                  3_500_000 // (9 * r_stack * 2 * c_eff // 2 + k_rows))
+        bn = fcp._pick_bn(n_j, min(block_n, cap))
         n_blk = n_j // bn
         pj_np, bt_np = fcp._phasor_tables(
             tuple(shifts) + (0.0,) * (c_eff - len(shifts)),
@@ -185,8 +189,6 @@ def main():
     for xq_mode in ("flat", "nt"):
         run(f"prep+kernel@{xq_mode}", make_prep_kernel(xq_mode),
             jnp.float32(0.0), buf, iters=KERNEL_ITERS)
-    run("prep+kernel@nt_bn4096", make_prep_kernel("nt", 4096),
-        jnp.float32(0.0), buf, iters=KERNEL_ITERS)
 
     def step_kernel_unstack(st, x):
         st2, (audio, fcar, zcar) = kernel_full(st, x)
@@ -213,10 +215,8 @@ def main():
         jnp.asarray(rng.standard_normal(N_SAMPLES), jnp.float32))
     run("e2e", model.step, model.init(), rf, iters=600)
 
-    # -- block_n sweep on the full kernel ------------------------------------
-    # (bn=8192 exceeds the 16 MB scoped-VMEM limit: the W' scratch alone is
-    # K*bn*4 = 5.2 MB and the f32 y/d intermediates scale with bn)
-    for bn in (1024, 4096):
+    # -- block_n sweep on the full kernel (capped by the VMEM formula) ------
+    for bn in (256, 512):
         try:
             run(f"kernel@full_bn{bn}", make_kernel_step("full", bn),
                 jnp.float32(0.0), xq, iters=KERNEL_ITERS)
