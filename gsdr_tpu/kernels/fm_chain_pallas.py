@@ -78,16 +78,17 @@ def _pick_r(c_eff, decimation):
     # until R*2C reaches 128.
     while r * 2 * c_eff < _LANE:
         r *= 2
-    # keep growing (M spills past 128 — the MXU tiles M fine) while the
-    # window rows R*2D are narrower than a full 128-lane vreg: the
-    # per-block W build moves R*2D-lane slices, and narrow slices waste
-    # lanes proportionally (8-lane reads run at 1/16 VPU efficiency; the
-    # 64-channel chain at R=1/rows=8 spent ~0.5 ms/step in the W build
-    # alone). Measured ladder on the flagship (C=16, D=4, v5e): R=4
-    # (rows 32) 235 us, R=8 (64) 175, R=16 (128) 151, R=32 (256) 200 —
-    # full-lane rows win despite the (p+R)/p K-FLOP overhead until M
-    # passes 4 MXU tiles (512 rows, the VMEM/flop break point).
-    while (r * 2 * d) < _LANE and (2 * r) * 2 * c_eff <= 4 * _LANE:
+    # keep growing (M spills past 128 — the MXU tiles M fine, and the
+    # per-kernel VMEM caps shrink bn to fit) while the window rows R*2D
+    # are narrower than a full 128-lane vreg: the per-block W build moves
+    # R*2D-lane slices, and narrow slices waste lanes proportionally
+    # (8-lane reads run at 1/16 VPU efficiency; the 64-channel chain at
+    # R=1/rows=8 spent ~0.5 ms/step in the W build alone). Measured
+    # ladders on v5e: flagship (C=16, D=4) 235/175/151/200 us at
+    # R=4/8/16/32 (rows 32/64/128/256 — stop at exactly full-lane);
+    # 64 channels 635/565/525 us at R=4/8/16 (M = 512/1024/2048: the
+    # M growth keeps paying as long as rows stay below 128).
+    while (r * 2 * d) < _LANE:
         r *= 2
     return r
 
