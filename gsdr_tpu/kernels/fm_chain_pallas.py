@@ -20,11 +20,13 @@ consecutive decimated outputs are STACKED into the M dimension:
 
     Y (R*2C, BN) = G' @ W'    with W'[g-th group] = xq shifted g coarse cols
 
-fills the MXU at R*2C = 128 rows for the flagship C=16, at the cost of
-K = ceil((T/D + R - 1)/R)*R * 2D contraction rows (~25% extra FLOPs at
-C=16/T=64/D=4 — a 4x M-utilization win for a 1.25x FLOP cost). The same
-coarse-column layout makes D in {1, 2} supported (round-1 required
-2D % 8 == 0; now the alignment unit is R*2D).
+at the cost of K = ceil((T/D + R - 1)/R)*R * 2D contraction rows. R
+grows until the window rows R*2D reach a full 128-lane vreg (see
+_pick_r: the W build moves R*2D-lane slices, and full-lane rows beat
+both the K-FLOP overhead and M spilling past the 128-row MXU tile —
+flagship C=16/T=64/D=4 runs R=16 with M = 512). The same coarse-column
+layout makes D in {1, 2} supported (round-1 required 2D % 8 == 0; now
+the alignment unit is R*2D).
 
 Stages per grid step (block of BN coarse columns = R*BN outputs):
   1. stacked window matmul (above), 3-pass bf16x3 / 2-pass bf16x2 / f32.
