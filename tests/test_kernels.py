@@ -158,6 +158,21 @@ class TestFusedFmChain:
         assert np.max(np.abs(y_ref[:, 256:] - y_fast[:, 256:])) / scale \
             < 2e-2
 
+    @pytest.mark.parametrize("nch", [1, 3, 8, 20])
+    def test_channel_count_coverage(self, nch):
+        """Geometry sweep over channel counts (incl. non-multiples of the
+        8-sublane padding): fused output matches the XLA chain. Guards
+        the _pick_r / padding / VMEM-cap interplay, which is shape-
+        dependent."""
+        m_xla, m_pal = self._models(nch=nch)
+        rf = self._fm_rf(m_xla, 8192)
+        _, y_x = m_xla.step(m_xla.init(), rf)
+        _, y_p = m_pal.step(m_pal.init(), rf)
+        y_x, y_p = np.asarray(y_x), np.asarray(y_p)
+        assert y_p.shape == (nch, 2048)
+        scale = np.max(np.abs(y_x))
+        assert np.max(np.abs(y_x[:, 256:] - y_p[:, 256:])) / scale < 2e-3
+
     @pytest.mark.parametrize("decimation", [1, 2, 8])
     def test_decimation_coverage(self, decimation):
         """Round-2 gap closure: D in {1, 2} run fused (round 1 required
