@@ -98,6 +98,42 @@ def check_am():
     return ok
 
 
+def check_fm():
+    """Fused FM chain at a NON-flagship shape (D=2, 4 ch, block 8192 ->
+    r downgrades for M divisibility) — bench.py gates only the flagship
+    geometry; this catches stacking/padding regressions elsewhere."""
+    import dataclasses as dc
+
+    from gsdr_tpu.pipelines import FmChannelizer
+
+    def lowpass(nt, cf):
+        n = np.arange(nt) - (nt - 1) / 2.0
+        h = np.sinc(2 * cf * n) * np.hamming(nt)
+        return tuple((h / h.sum()).astype(np.float32).tolist())
+
+    m = FmChannelizer(
+        sample_rate=1e6, tuning_frequency=0.0,
+        channel_frequencies=(100_000.0, 161_000.0, 222_000.0, 283_000.0),
+        frequency_deviation=75_000.0, decimation=2,
+        low_pass_taps=lowpass(64, 0.04), impl="xla")
+    mp = dc.replace(m, impl="pallas")
+    n = 8192
+    t = np.arange(n) / m.sample_rate
+    sig = np.zeros(n, np.complex128)
+    for k, f in enumerate(m.channel_frequencies):
+        msg = np.sin(2 * np.pi * (700.0 + 400.0 * k) * t)
+        sig += 0.1 * np.exp(1j * (2 * np.pi * f * t + 0.3 * msg))
+    rf = ComplexArray(jnp.asarray(sig.real, jnp.float32),
+                      jnp.asarray(sig.imag, jnp.float32))
+    _, y1 = m.step(m.init(), rf)
+    _, y2 = mp.step(mp.init(), rf)
+    y1, y2 = np.asarray(y1), np.asarray(y2)
+    # skip the zero-primed warmup region (atan2 branch-cut ambiguity)
+    err = float(np.max(np.abs(y1[:, 256:] - y2[:, 256:]))
+                / np.max(np.abs(y1)))
+    return _report("fm_fused_d2_4ch", err, 2e-3)
+
+
 def check_iir():
     from gsdr_tpu.ops.iir import iir_block
 
@@ -134,6 +170,7 @@ def main():
     ok = True
     ok &= check_channelizer()
     ok &= check_am()
+    ok &= check_fm()
     ok &= check_iir()
     ok &= check_qpsk256()
     print(json.dumps({"all_ok": bool(ok)}), flush=True)

@@ -22,7 +22,17 @@ from gsdr_tpu.ops.fir import fir
 from gsdr_tpu.ops.mixer import freq_shift
 from gsdr_tpu.pipelines import AmReceiver, FmChannelizer, QpskModem, \
     Qpsk256Modem
-from gsdr_tpu.utils.timing import time_step
+from gsdr_tpu.utils.timing import time_step as _time_step
+
+_STRICT = True
+
+
+def time_step(step, state, block, iters=20, reps=3):
+    # --quick smoke runs accept dispatch-floor numbers (strict=False):
+    # tiny workloads cannot clear the noise guard on any backend, and the
+    # smoke run checks structure, not throughput
+    return _time_step(step, state, block, iters=iters, reps=reps,
+                      strict=_STRICT)
 
 
 def _lowpass(num_taps, cutoff_frac):
@@ -214,6 +224,9 @@ def main(argv=None):
     args = p.parse_args(argv)
     n = 1 << 16 if args.quick else 1 << 20
     iters = 3 if args.quick else 10
+    if args.quick:
+        global _STRICT
+        _STRICT = False
 
     rows = [
         lambda: bench_am(n, iters),
