@@ -36,7 +36,13 @@ from gsdr_tpu.ops.mixer import freq_shift, lo_signal
 from gsdr_tpu.ops.quad_demod import quad_am_demod, quad_fm_demod
 from gsdr_tpu.ops.am import am_demod
 from gsdr_tpu.ops.fm import fm_demod, fm_demod_gain
-from gsdr_tpu.ops.iir import iir, iir_reference, iir_sos
+from gsdr_tpu.ops.iir import (
+    iir,
+    iir_block,
+    iir_reference,
+    iir_sos,
+    iir_sos_block,
+)
 from gsdr_tpu.ops.qpsk import (
     qpsk_constellation,
     qpsk_demodulate,
@@ -46,7 +52,11 @@ from gsdr_tpu.ops.qpsk import (
 )
 from gsdr_tpu.ops.channelize import channelize, make_complex_tap_bank
 from gsdr_tpu.ops.pfb import pfb_channelize
-from gsdr_tpu.ops.resample import design_resampler_taps, resample
+from gsdr_tpu.ops.resample import (
+    ResampleStream,
+    design_resampler_taps,
+    resample,
+)
 from gsdr_tpu.ops.qpsk256 import (
     qpsk256_constellation,
     qpsk256_demodulate,
@@ -73,6 +83,7 @@ __all__ = [
     "make_complex_tap_bank",
     "pfb_channelize",
     "resample",
+    "ResampleStream",
     "design_resampler_taps",
     "freq_shift",
     "lo_signal",
@@ -82,8 +93,10 @@ __all__ = [
     "fm_demod",
     "fm_demod_gain",
     "iir",
+    "iir_block",
     "iir_reference",
     "iir_sos",
+    "iir_sos_block",
     "qpsk_constellation",
     "qpsk_modulate",
     "qpsk_demodulate",
