@@ -102,7 +102,7 @@ def _run(xq, gh, gl, *, block_n, groups, rows, c_eff, r_stack, f32_dot,
     )(*xq_parts, *xq_parts, gh, gl)
 
 
-def mix_fir_decimate_bank_pallas(x, kernel, decimation, block_n=2048,
+def mix_fir_decimate_bank_pallas(x, kernel, decimation, block_n=4096,
                                  precision="bf16x3", interpret=False,
                                  xq_mode="nt"):
     """Pallas drop-in for ops.channelize.mix_fir_decimate_bank.

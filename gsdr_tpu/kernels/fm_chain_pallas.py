@@ -434,7 +434,7 @@ def _unstack(audio, c_eff, c_cnt, r_stack, m):
     return a[:c_cnt, :m]
 
 
-def am_chain_pallas(buf, kernel_bank, decimation, block_n=2048,
+def am_chain_pallas(buf, kernel_bank, decimation, block_n=4096,
                     precision="bf16x3", interpret=False, xq_mode="nt"):
     """Fused AM chain over a tail-prepended planar RF buffer.
 
