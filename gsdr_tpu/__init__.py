@@ -47,6 +47,7 @@ from gsdr_tpu.ops.qpsk import (
     qpsk_constellation,
     qpsk_demodulate,
     qpsk_modulate,
+    qpsk_modulate_symbols,
     pack_2bit_symbols,
     unpack_2bit_symbols,
 )
@@ -99,6 +100,7 @@ __all__ = [
     "iir_sos_block",
     "qpsk_constellation",
     "qpsk_modulate",
+    "qpsk_modulate_symbols",
     "qpsk_demodulate",
     "pack_2bit_symbols",
     "unpack_2bit_symbols",

@@ -28,6 +28,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from gsdr_tpu.backend import is_tpu_backend
 from gsdr_tpu.carray import ComplexArray
 from gsdr_tpu.kernels.fm_chain_pallas import (
     _LANE,
@@ -113,7 +114,7 @@ def mix_fir_decimate_bank_pallas(x, kernel, decimation, block_n=4096,
     """
     if x.ndim != 1:
         raise ValueError("pallas channelizer takes 1-D x; vmap for batches")
-    interpret = interpret or jax.default_backend() == "cpu"
+    interpret = interpret or not is_tpu_backend()
     kh = np.asarray(kernel)
     k2c, _, t = kh.shape
     c_cnt = k2c // 2

@@ -54,6 +54,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from gsdr_tpu.backend import is_tpu_backend
 from gsdr_tpu.carray import ComplexArray
 
 _LANE = 128
@@ -182,19 +183,13 @@ def _g_matrix_stacked(kernel_np, decimation, c_eff, r_stack, groups,
 
 
 def _xq_prep(buf, d, r_stack, n_coarse_total, mode="flat"):
-    """Planar (Nb,) RF -> windowable input in one of three layouts with
-    logical value xq[u*2D + p*2 + plane, J] = plane(x[(J*R + u)*D + p]):
+    """Planar (Nb,) RF -> windowable input with logical value
+    xq[u*2D + p*2 + plane, J] = plane(x[(J*R + u)*D + p]):
 
       'flat'  — (R*2D, n_coarse_total): the direct form, but producing it
                 costs a narrow (n_coarse, 32) -> (32, n_coarse) XLA
                 transpose measured at ~160 us / 2^20 samples on v5e
                 (~47% of the whole fused step; benchmarks/ablate_chain.py).
-      't32'   — (n_coarse_total, R*2D): no XLA transpose at all (the
-                interleave fuses into one cheap pass); the kernel
-                transposes each block in VMEM.
-      'tiled' — (n_coarse_total/128, R*2D, 128): XLA does only batched
-                128x(R*2D) tile-local transposes; the kernel lane-concats
-                the tiles with no relayout.
       'nt'    — a PAIR of (n_coarse_total, R*D) planes (re, im): pad +
                 free reshape ONLY — no XLA relayout of any kind (measured:
                 every narrow-minor-dim XLA op above runs at 1/8-1/4 lane
@@ -202,6 +197,10 @@ def _xq_prep(buf, d, r_stack, n_coarse_total, mode="flat"):
                 kernel lane-concats the planes and contracts the window
                 matrix TRANSPOSED via an NT dot_general (MXU hardware
                 takes the transposed RHS). Requires 'planar' G' order.
+
+    (Two further modes, 't32' in-kernel transpose and 'tiled' XLA tile
+    transpose, measured 382/333 us vs nt's 248 in round 2 and were
+    dropped in round 3 — CLAUDE.md "tried and rejected".)
     """
     rows = r_stack * 2 * d
     need = n_coarse_total * r_stack * d
@@ -216,10 +215,6 @@ def _xq_prep(buf, d, r_stack, n_coarse_total, mode="flat"):
          xi.reshape(n_coarse_total, r_stack * d)],
         axis=-1,
     ).reshape(n_coarse_total, rows)
-    if mode == "t32":
-        return xp
-    if mode == "tiled":
-        return xp.reshape(-1, _LANE, rows).transpose(0, 2, 1)
     return xp.T
 
 
@@ -239,12 +234,7 @@ def _build_v(xq_refs, halo_refs, xq_mode):
             [jnp.concatenate([xr[:, :], xi[:, :]], axis=1),
              jnp.concatenate([hr[:, :], hi[:, :]], axis=1)], axis=0)
     (xq_ref,), (halo_ref,) = xq_refs, halo_refs
-    if xq_mode == "flat":
-        return jnp.concatenate([xq_ref[:, :], halo_ref[:, :]], axis=1)
-    if xq_mode == "t32":
-        return jnp.concatenate([xq_ref[:, :], halo_ref[:, :]], axis=0).T
-    parts = [xq_ref[t] for t in range(xq_ref.shape[0])] + [halo_ref[0]]
-    return jnp.concatenate(parts, axis=1)
+    return jnp.concatenate([xq_ref[:, :], halo_ref[:, :]], axis=1)
 
 
 def _xq_specs(xq_mode, rows, bn):
@@ -257,33 +247,17 @@ def _xq_specs(xq_mode, rows, bn):
                           lambda i: ((i * bn) // _LANE + bn // _LANE, 0),
                           memory_space=vm)
         return [xs, xs], [hs, hs]
-    if xq_mode == "flat":
-        return ([pl.BlockSpec((rows, bn), lambda i: (0, i),
-                              memory_space=vm)],
-                [pl.BlockSpec((rows, _LANE),
-                              lambda i: (0, (i * bn) // _LANE + bn // _LANE),
-                              memory_space=vm)])
-    if xq_mode == "t32":
-        return ([pl.BlockSpec((bn, rows), lambda i: (i, 0),
-                              memory_space=vm)],
-                [pl.BlockSpec((_LANE, rows),
-                              lambda i: ((i * bn) // _LANE + bn // _LANE, 0),
-                              memory_space=vm)])
-    return ([pl.BlockSpec((bn // _LANE, rows, _LANE), lambda i: (i, 0, 0),
+    return ([pl.BlockSpec((rows, bn), lambda i: (0, i),
                           memory_space=vm)],
-            [pl.BlockSpec((1, rows, _LANE),
-                          lambda i: ((i * bn) // _LANE + bn // _LANE, 0, 0),
+            [pl.BlockSpec((rows, _LANE),
+                          lambda i: (0, (i * bn) // _LANE + bn // _LANE),
                           memory_space=vm)])
 
 
 def _n_coarse_of(xq, xq_mode):
     """Total coarse-column count of a mode-laid-out xq array (for 'nt',
     pass one of the two plane arrays)."""
-    if xq_mode == "flat":
-        return xq.shape[1]
-    if xq_mode in ("t32", "nt"):
-        return xq.shape[0]
-    return xq.shape[0] * _LANE
+    return xq.shape[1] if xq_mode == "flat" else xq.shape[0]
 
 
 def _split_g(g, precision):
@@ -441,7 +415,7 @@ def am_chain_pallas(buf, kernel_bank, decimation, block_n=4096,
     Returns audio (C, M) float32 in [-1, 1]; M = (Nb - T)//D + 1. No
     streaming carries beyond the caller's raw RF tail (the AM chain is
     memoryless past the filter window, src/am.cu:21-50)."""
-    interpret = interpret or jax.default_backend() == "cpu"
+    interpret = interpret or not is_tpu_backend()
     kh = np.asarray(kernel_bank)
     k2c, _, t = kh.shape
     c_cnt = k2c // 2
@@ -739,7 +713,7 @@ def fm_chain_pallas(buf, kernel_bank, lo_table, n0_rot, decimation, gain,
     Returns (audio (C, M), new_carry_f, new_carry_z), M = (Nb - T)//D + 1,
     bit-compatible with the unfused FmChannelizer state pytree.
     """
-    interpret = interpret or jax.default_backend() == "cpu"
+    interpret = interpret or not is_tpu_backend()
     kh = np.asarray(kernel_bank)
     k2c, _, t = kh.shape
     c_cnt = k2c // 2
@@ -756,8 +730,11 @@ def fm_chain_pallas(buf, kernel_bank, lo_table, n0_rot, decimation, gain,
     # VMEM guard (FM: y, pj, rotor/disc/de-emph planes, audio + the
     # (bn, K) window scratch; Mosaic liveness reuse measured ~4.5
     # full-height arrays): cap bn so the block fits scoped VMEM.
-    # The flagship (R*2C=128, K=160) lands on bn=4096 (measured
-    # ~5 us/step faster than 2048; 8192 OOMs at 17.7M > 16M).
+    # At the full-lane R=16 flagship geometry (R*2C=512, K=256) the cap
+    # evaluates to 1367 and _pick_bn lands on bn=1024 — the geometry that
+    # produced the round-2 ~6800-7250 Msps headline. (The block_n=4096
+    # default only engages at smaller R*2C; pre-R-growth it measured
+    # ~5 us/step faster than 2048 and 8192 OOM'd.)
     bn = _pick_bn(n_j, min(block_n, max(_LANE, 3_500_000 // (
         9 * r_stack * 2 * c_eff // 2 + groups * rows))))
     xq = _xq_prep(buf, d, r_stack, n_j + _LANE, mode=xq_mode)

@@ -45,6 +45,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from gsdr_tpu.backend import is_tpu_backend
+
 _LANE = 128
 _SUB = 8
 _MAX_PAIRS = 4          # order <= 8
@@ -343,7 +345,7 @@ def iir_pallas(b, a, x, zi=None, block_n=8192, interpret=False):
     if diag is None:
         raise ValueError("iir_pallas requires order 1..8 with distinct "
                          "poles; use ops.iir.iir_block instead")
-    interpret = interpret or jax.default_backend() == "cpu"
+    interpret = interpret or not is_tpu_backend()
     x = jnp.asarray(x, jnp.float32)
     if x.ndim != 1:
         raise ValueError("iir_pallas takes a 1-D signal; batched input "

@@ -102,9 +102,10 @@ def qpsk256_demodulate_pallas(x, constellation, out_dtype=jnp.int32,
     shaped like ``x`` — bit-identical decisions to qpsk256_demodulate
     (same score arithmetic, same lowest-index tie-break).
     """
-    from gsdr_tpu.carray import ComplexArray, is_planar
+    from gsdr_tpu.backend import is_tpu_backend
+from gsdr_tpu.carray import ComplexArray, is_planar
 
-    interpret = interpret or jax.default_backend() == "cpu"
+    interpret = interpret or not is_tpu_backend()
     if is_planar(constellation):
         cnp = (np.asarray(constellation.re)
                + 1j * np.asarray(constellation.im))

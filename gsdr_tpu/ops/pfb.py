@@ -28,6 +28,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
+from gsdr_tpu.backend import is_tpu_backend
 from gsdr_tpu.carray import ComplexArray, is_planar
 
 
@@ -72,9 +73,11 @@ def pfb_channelize(x, taps, num_channels, impl="xla"):
     TPU, xla otherwise.
     """
     k = int(num_channels)
+    if not is_planar(x):
+        x = ComplexArray.from_complex(jnp.asarray(x))
     if impl == "auto":
-        impl = ("pallas" if k <= 32 and jnp.ndim(getattr(x, "re", x)) == 1
-                and jax.default_backend() != "cpu" else "xla")
+        impl = ("pallas" if k <= 32 and x.re.ndim == 1
+                and is_tpu_backend() else "xla")
     if impl == "pallas":
         from gsdr_tpu.kernels.channelize_pallas import (
             mix_fir_decimate_bank_pallas,
@@ -89,8 +92,6 @@ def pfb_channelize(x, taps, num_channels, impl="xla"):
         # bank phases are exact integer-arithmetic fractions
         bank = make_complex_tap_bank(padded, [-c for c in range(k)], k)
         return mix_fir_decimate_bank_pallas(x, bank, k)
-    if not is_planar(x):
-        x = ComplexArray.from_complex(jnp.asarray(x))
     poly = jnp.asarray(pfb_taps_to_polyphase(taps, k))  # (K, Q)
     q = poly.shape[1]
     n = x.shape[-1]

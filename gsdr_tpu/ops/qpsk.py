@@ -67,6 +67,23 @@ def pack_2bit_symbols(symbols, out_dtype=jnp.uint8):
     return jnp.sum(grp * weights, axis=-1).astype(out_dtype)
 
 
+def qpsk_modulate_symbols(symbols, amplitude=1.0):
+    """2-bit symbol values (..., N) int -> planar QPSK samples.
+
+    The 4-point table is pure sign arithmetic: re flips on bit0, im on
+    bit1 (00->(+,+), 01->(-,+), 10->(+,-), 11->(-,-)). Arithmetic
+    instead of a table gather — TPU gathers from tiny tables lower to a
+    per-element dynamic-slice loop (see qpsk256's _modulate_select;
+    measured 69x on v5e) — and bit-identical (values are exactly +-a
+    either way). Shared by qpsk_modulate and the sharded modem
+    (parallel/modem.py)."""
+    sym = jnp.asarray(symbols).astype(jnp.int32)
+    a = float(amplitude)
+    re = a * (1.0 - 2.0 * jnp.bitwise_and(sym, 1).astype(jnp.float32))
+    im = a * (1.0 - 2.0 * (jnp.right_shift(sym, 1) & 1).astype(jnp.float32))
+    return ComplexArray(re, im)
+
+
 def qpsk_modulate(packed_bits, amplitude=1.0, num_symbols=None, planar=False):
     """Packed bytes -> QPSK symbols (complex64, or ComplexArray if planar).
 
@@ -74,15 +91,7 @@ def qpsk_modulate(packed_bits, amplitude=1.0, num_symbols=None, planar=False):
     symbols, LSB-first; symbol values map per the Gray constellation above.
     """
     sym = unpack_2bit_symbols(packed_bits, num_symbols)
-    a = float(amplitude)
-    # The 4-point table is pure sign arithmetic: re flips on bit0, im on
-    # bit1 (00->(+,+), 01->(-,+), 10->(+,-), 11->(-,-)). Arithmetic
-    # instead of a table gather — TPU gathers from tiny tables lower to a
-    # per-element dynamic-slice loop (see qpsk256's _modulate_select) —
-    # and bit-identical (values are exactly +-a either way).
-    re = a * (1.0 - 2.0 * jnp.bitwise_and(sym, 1).astype(jnp.float32))
-    im = a * (1.0 - 2.0 * (jnp.right_shift(sym, 1) & 1).astype(jnp.float32))
-    out = ComplexArray(re, im)
+    out = qpsk_modulate_symbols(sym, amplitude)
     return out if planar else out.to_complex()
 
 

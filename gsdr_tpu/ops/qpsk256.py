@@ -26,6 +26,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from gsdr_tpu.backend import is_tpu_backend
 from gsdr_tpu.carray import ComplexArray, is_planar
 
 RECTANGULAR = 0
@@ -122,7 +123,7 @@ def qpsk256_modulate(symbols, constellation):
     _check_table(constellation)
     symbols = jnp.asarray(symbols).astype(jnp.int32)
     planar = is_planar(constellation)
-    if jax.default_backend() != "cpu":
+    if is_tpu_backend():
         try:
             if planar:
                 re_vals = np.asarray(constellation.re)
@@ -189,8 +190,7 @@ def qpsk256_demodulate(x, constellation, out_dtype=jnp.uint8, impl="auto"):
     qpsk256_demodulate_rect (exact, O(1) per sample).
     """
     _check_table(constellation)
-    if impl == "pallas" or (impl == "auto"
-                            and jax.default_backend() != "cpu"):
+    if impl == "pallas" or (impl == "auto" and is_tpu_backend()):
         from gsdr_tpu.kernels.qpsk256_pallas import qpsk256_demodulate_pallas
 
         return qpsk256_demodulate_pallas(x, constellation,

@@ -18,7 +18,7 @@ except ImportError:  # older jax
     from jax.experimental.shard_map import shard_map as _shard_map
 
 from gsdr_tpu.carray import ComplexArray
-from gsdr_tpu.ops.qpsk import qpsk_demodulate_symbols, qpsk_modulate
+from gsdr_tpu.ops.qpsk import qpsk_demodulate_symbols, qpsk_modulate_symbols
 from gsdr_tpu.ops.qpsk256 import (
     RECTANGULAR,
     qpsk256_demodulate,
@@ -86,9 +86,10 @@ def make_sharded_qpsk_modem(modem, mesh):
     amp = modem.amplitude
 
     def tx_body(sym):
-        re_t = jnp.array([amp, -amp, amp, -amp], dtype=jnp.float32)
-        im_t = jnp.array([amp, amp, -amp, -amp], dtype=jnp.float32)
-        return re_t[sym], im_t[sym]
+        # sign arithmetic, not a 4-entry table gather: tiny-table gathers
+        # lower to per-element dynamic slices on TPU (ops/qpsk.py, 69x).
+        out = qpsk_modulate_symbols(sym, amp)
+        return out.re, out.im
 
     def rx_body(sre, sim):
         return qpsk_demodulate_symbols(ComplexArray(sre, sim))

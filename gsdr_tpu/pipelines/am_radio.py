@@ -14,6 +14,7 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
+from gsdr_tpu.backend import is_tpu_backend
 from gsdr_tpu.carray import ComplexArray, is_planar
 from gsdr_tpu.ops.channelize import (
     make_complex_tap_bank,
@@ -97,7 +98,7 @@ class AmReceiver:
         m_out = (buf.shape[-1] - t) // self.decimation + 1
         use_pallas = self.impl == "pallas" or (
             self.impl == "auto"
-            and jax.default_backend() != "cpu"
+            and is_tpu_backend()
             and fused_chain_supported(self.decimation, t, m_out,
                                       self.num_channels, pad_m=True))
         if use_pallas:

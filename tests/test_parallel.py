@@ -213,6 +213,25 @@ class TestShardedModems:
         out = np.asarray(jax.jit(lambda s: rx(tx(s)))(jnp.asarray(syms)))
         np.testing.assert_array_equal(out, syms)
 
+    def test_qpsk_sharded_tx_is_gather_free_and_bit_identical(self):
+        """The sharded tx must use the sign-arithmetic modulator
+        (ops/qpsk.py) — tiny-table gathers lower to per-element dynamic
+        slices on TPU (measured 69x slower, BASELINE.md)."""
+        from gsdr_tpu.ops.qpsk import qpsk_modulate_symbols
+        from gsdr_tpu.parallel.modem import make_sharded_qpsk_modem
+        from gsdr_tpu.pipelines import QpskModem
+
+        mesh = make_mesh(channel=2, time=4)
+        modem = QpskModem(amplitude=2.0)
+        tx, _ = make_sharded_qpsk_modem(modem, mesh)
+        syms = jnp.asarray(RNG.integers(0, 4, size=(4, 1024)), jnp.int32)
+        hlo = jax.jit(tx).lower(syms).as_text()
+        assert "gather" not in hlo and "dynamic_slice" not in hlo, hlo[:2000]
+        got = tx(syms)
+        want = qpsk_modulate_symbols(syms, 2.0)
+        np.testing.assert_array_equal(np.asarray(got.re), np.asarray(want.re))
+        np.testing.assert_array_equal(np.asarray(got.im), np.asarray(want.im))
+
 
 class TestMultihost:
     def test_pod_mesh_single_host_layout(self):
