@@ -45,6 +45,7 @@ The carried state is exactly the unfused pipeline's state pytree
 fused and unfused step functions are interchangeable mid-stream.
 """
 
+import dataclasses
 import functools
 
 import numpy as np
@@ -108,11 +109,13 @@ def _stack_geometry(c_cnt, t, d, m, pad_m=False):
     the shape cannot run fused. c_eff pads channels to a sublane multiple
     so every in-kernel row slice is 8-aligned.
 
-    ``pad_m``: stateless kernels (channelizer, AM envelope) may pad M up
-    to a multiple of R*128 and slice the outputs — any M works. The FM
-    chain may NOT (its carried state exports come from the LAST grid
-    position, which must be the last real output), so it requires
-    M % (R*128) == 0 exactly.
+    ``pad_m``: pad M up to a multiple of R*128 and mask — any M works.
+    All fused chains now use it (round 3): the stateless kernels slice
+    the padded outputs; the FM chain additionally exports its carried
+    state from the last REAL output's (grid step, column, phase) instead
+    of the last grid position (_fm_chain_kernel last_i/last_col/last_r).
+    pad_m=False keeps the exact-alignment requirement for callers that
+    cannot mask.
     """
     if t % d != 0:
         return None
@@ -135,10 +138,11 @@ def _stack_geometry(c_cnt, t, d, m, pad_m=False):
 
 
 def fused_chain_supported(decimation, num_taps, m_out, num_channels=16,
-                          pad_m=False):
+                          pad_m=True):
     """True when the fused single-kernel chain can run this shape:
-    T % D == 0 and (unless ``pad_m`` — allowed for the stateless AM
-    chain) M a multiple of R*128 for the chosen stacking factor."""
+    T % D == 0 and the taps fit the 128-coarse-column halo window. With
+    the default pad-and-mask (round 3) any M works; pad_m=False restores
+    the old exact M % (R*128) == 0 requirement."""
     return _stack_geometry(int(num_channels), int(num_taps),
                            int(decimation), int(m_out),
                            pad_m=pad_m) is not None
@@ -261,21 +265,25 @@ def _n_coarse_of(xq, xq_mode):
 
 
 def _split_g(g, precision):
-    """Host-side (hi, lo) bf16 split (or f32 passthrough) of G'."""
+    """Host-side (hi, lo) bf16 split (or f32 passthrough) of G'.
+
+    Returns NUMPY arrays (ml_dtypes bf16): plan tables must stay host
+    constants — converting via jnp.asarray under an active jit trace
+    yields a tracer in current JAX, which breaks plan reuse."""
     import ml_dtypes
 
     if precision in ("bf16x3", "bf16x2"):
         gh_np = g.astype(ml_dtypes.bfloat16)
         gl_np = (g - gh_np.astype(np.float32)).astype(ml_dtypes.bfloat16)
-        return jnp.asarray(gh_np), jnp.asarray(gl_np), precision
-    return jnp.asarray(g), jnp.asarray(np.zeros_like(g)), "f32"
+        return gh_np, gl_np, precision
+    return g, np.zeros_like(g), "f32"
 
 
 _NT_DIMS = (((1,), (1,)), ((), ()))  # contract lhs dim1 x rhs dim1 (A @ B^T)
 
 
 def _window_dot(v, gh_ref, gl_ref, w_ref, bn, groups, rows, f32_dot,
-                nt=False):
+                nt=False, direct=False):
     """Contract the stacked tap bank with ``groups`` full-height shifted
     copies of the window source ``v`` (from _build_v), as bf16x3 / bf16x2 /
     exact f32. Shared by the FM and AM fused kernels.
@@ -286,9 +294,45 @@ def _window_dot(v, gh_ref, gl_ref, w_ref, bn, groups, rows, f32_dot,
     the MXU consumes the transposed RHS natively, so no transpose exists
     anywhere on the path (the point of the 'nt' input mode).
 
+    direct=True (nt only, round 3): skip the W'^T scratch entirely — one
+    NT dot per shift group against the sublane-offset slice v[g:g+bn, :],
+    with G' lane-sliced per group. Same MXU FLOPs (the K=groups*rows
+    Toeplitz redundancy is structural — each of R stacked output phases
+    spans p_cnt+R-1 shift slots, so a dense dot cannot read fewer), but
+    deletes the (bn, K) scratch write+read and its VMEM footprint.
+
     bf16x2 passes a bf16 ``w_ref``: the window scratch is built directly
     in bf16 (the signal operand is quantized anyway in this grade), which
     halves the vreg traffic of the narrow 32-lane W build."""
+    if direct:
+        if not nt:
+            raise NotImplementedError("direct window dot requires nt mode")
+
+        def dot_nt(a, s, exact=False):
+            kw = {"precision": jax.lax.Precision.HIGHEST} if exact else {}
+            return jax.lax.dot_general(
+                a, s, _NT_DIMS, preferred_element_type=jnp.float32, **kw)
+
+        if f32_dot == "f32":
+            y = None
+            for g in range(groups):
+                t = dot_nt(gh_ref[:, g * rows:(g + 1) * rows],
+                           v[g:g + bn, :], exact=True)
+                y = t if y is None else y + t
+            return y
+        vh = v.astype(jnp.bfloat16)
+        vl = (None if f32_dot == "bf16x2"
+              else (v - vh.astype(jnp.float32)).astype(jnp.bfloat16))
+        y = None
+        for g in range(groups):
+            gh_g = gh_ref[:, g * rows:(g + 1) * rows]
+            sh = vh[g:g + bn, :]
+            t = dot_nt(gh_g, sh) + dot_nt(
+                gl_ref[:, g * rows:(g + 1) * rows], sh)
+            if vl is not None:
+                t = t + dot_nt(gh_g, vl[g:g + bn, :])
+            y = t if y is None else y + t
+        return y
     if w_ref.dtype == jnp.bfloat16:
         v = v.astype(jnp.bfloat16)
     # W goes through scratch on purpose: building it as one concatenated
@@ -334,7 +378,8 @@ def _window_dot(v, gh_ref, gl_ref, w_ref, bn, groups, rows, f32_dot,
 # AM fused chain
 # ---------------------------------------------------------------------------
 
-def _am_chain_kernel(*refs, groups, rows, c_eff, r_stack, f32_dot, xq_mode):
+def _am_chain_kernel(*refs, groups, rows, c_eff, r_stack, f32_dot, xq_mode,
+                     dot_direct=False):
     """Fused AM chain: stacked windows+dot + envelope 2*clamp(|.|,0,1)-1
     (the reference's fused k_Am, /root/reference/src/am.cu:21-50). The LO
     window-start rotor is a unit phasor and the envelope is magnitude-only,
@@ -342,11 +387,15 @@ def _am_chain_kernel(*refs, groups, rows, c_eff, r_stack, f32_dot, xq_mode):
     is already in the complex tap bank."""
     nx = _n_xq_parts(xq_mode)
     xq_refs, halo_refs = refs[:nx], refs[nx:2 * nx]
-    gh_ref, gl_ref, audio_ref, w_ref = refs[2 * nx:]
+    if dot_direct:
+        gh_ref, gl_ref, audio_ref = refs[2 * nx:]
+        w_ref = None
+    else:
+        gh_ref, gl_ref, audio_ref, w_ref = refs[2 * nx:]
     bn = audio_ref.shape[1]
     v = _build_v(xq_refs, halo_refs, xq_mode)
     y = _window_dot(v, gh_ref, gl_ref, w_ref, bn, groups, rows, f32_dot,
-                    nt=xq_mode == "nt")
+                    nt=xq_mode == "nt", direct=dot_direct)
     for r in range(r_stack):
         row0 = r * 2 * c_eff
         y_re = y[row0:row0 + c_eff, :]
@@ -359,9 +408,9 @@ def _am_chain_kernel(*refs, groups, rows, c_eff, r_stack, f32_dot, xq_mode):
 @functools.partial(
     jax.jit,
     static_argnames=("block_n", "groups", "rows", "c_eff", "r_stack",
-                     "f32_dot", "interpret", "xq_mode"))
+                     "f32_dot", "interpret", "xq_mode", "dot_direct"))
 def _run_am(xq, gh, gl, *, block_n, groups, rows, c_eff, r_stack, f32_dot,
-            interpret, xq_mode="flat"):
+            interpret, xq_mode="flat", dot_direct=False):
     xq_parts = xq if isinstance(xq, tuple) else (xq,)
     n_coarse_total = _n_coarse_of(xq_parts[0], xq_mode)
     k_rows = gh.shape[1]
@@ -369,7 +418,7 @@ def _run_am(xq, gh, gl, *, block_n, groups, rows, c_eff, r_stack, f32_dot,
     bn = block_n
     kernel = functools.partial(_am_chain_kernel, groups=groups, rows=rows,
                                c_eff=c_eff, r_stack=r_stack, f32_dot=f32_dot,
-                               xq_mode=xq_mode)
+                               xq_mode=xq_mode, dot_direct=dot_direct)
     vm = pltpu.VMEM
     xq_specs, halo_specs = _xq_specs(xq_mode, rows, bn)
     w_shape = (bn, k_rows) if xq_mode == "nt" else (k_rows, bn)
@@ -384,7 +433,8 @@ def _run_am(xq, gh, gl, *, block_n, groups, rows, c_eff, r_stack, f32_dot,
         out_specs=pl.BlockSpec((r_stack * c_eff, bn), lambda i: (0, i),
                                memory_space=vm),
         out_shape=jax.ShapeDtypeStruct((r_stack * c_eff, n_out), jnp.float32),
-        scratch_shapes=[pltpu.VMEM(w_shape, w_dtype)],
+        scratch_shapes=([] if dot_direct
+                        else [pltpu.VMEM(w_shape, w_dtype)]),
         interpret=interpret,
     )(*xq_parts, *xq_parts, gh, gl)
 
@@ -408,20 +458,36 @@ def _unstack(audio, c_eff, c_cnt, r_stack, m):
     return a[:c_cnt, :m]
 
 
-def am_chain_pallas(buf, kernel_bank, decimation, block_n=4096,
-                    precision="bf16x3", interpret=False, xq_mode="nt"):
-    """Fused AM chain over a tail-prepended planar RF buffer.
+@dataclasses.dataclass(frozen=True)
+class AmChainPlan:
+    """Host-side compile plan for the fused AM chain (see FmChainPlan)."""
 
-    Returns audio (C, M) float32 in [-1, 1]; M = (Nb - T)//D + 1. No
-    streaming carries beyond the caller's raw RF tail (the AM chain is
-    memoryless past the filter window, src/am.cu:21-50)."""
-    interpret = interpret or not is_tpu_backend()
+    d: int
+    t: int
+    c_cnt: int
+    c_eff: int
+    r_stack: int
+    groups: int
+    rows: int
+    bn: int
+    n_j: int
+    m: int
+    n_buf: int
+    f32_dot: str
+    xq_mode: str
+    dot_mode: str
+    gh: object
+    gl: object
+
+
+def am_chain_plan(kernel_bank, decimation, n_buf, block_n=4096,
+                  precision="bf16x3", xq_mode="nt", dot_mode="scratch"):
+    """Host-side plan for the fused AM chain over an n_buf-sample buffer."""
     kh = np.asarray(kernel_bank)
     k2c, _, t = kh.shape
     c_cnt = k2c // 2
     d = int(decimation)
-    n = buf.shape[-1]
-    m = (n - t) // d + 1
+    m = (int(n_buf) - t) // d + 1
     geom = _stack_geometry(c_cnt, t, d, m, pad_m=True)
     if geom is None:
         raise ValueError(f"unsupported (D={d}, T={t}, M={m}) for fused chain")
@@ -432,15 +498,49 @@ def am_chain_pallas(buf, kernel_bank, decimation, block_n=4096,
     # scratch): cap bn so ~ (2*R*2C + K) * bn f32 fits scoped VMEM
     bn = _pick_bn(n_j, min(block_n, max(_LANE, 3_500_000 // (
         2 * r_stack * 2 * c_eff + groups * rows))))
-    xq = _xq_prep(buf, d, r_stack, n_j + _LANE, mode=xq_mode)
     g = _g_matrix_stacked(_pad_bank(kh, c_eff), d, c_eff, r_stack, groups,
                           order="planar" if xq_mode == "nt"
                           else "interleaved")
     gh, gl, f32_dot = _split_g(g, precision)
-    audio = _run_am(xq, gh, gl, block_n=bn, groups=groups, rows=rows,
-                    c_eff=c_eff, r_stack=r_stack, f32_dot=f32_dot,
-                    interpret=interpret, xq_mode=xq_mode)
-    return _unstack(audio, c_eff, c_cnt, r_stack, m)
+    return AmChainPlan(
+        d=d, t=t, c_cnt=c_cnt, c_eff=c_eff, r_stack=r_stack, groups=groups,
+        rows=rows, bn=bn, n_j=n_j, m=m, n_buf=int(n_buf),
+        f32_dot=f32_dot, xq_mode=xq_mode, dot_mode=dot_mode,
+        gh=np.asarray(gh), gl=np.asarray(gl))
+
+
+def am_chain_apply(plan, buf, gh=None, gl=None, interpret=False):
+    """Run the fused AM chain under a prebuilt plan (traceable; shard-safe).
+
+    gh/gl may be traced per-shard overrides (shard_map operands)."""
+    interpret = interpret or not is_tpu_backend()
+    if buf.shape[-1] != plan.n_buf:
+        raise ValueError(f"buffer length {buf.shape[-1]} != plan {plan.n_buf}")
+    xq = _xq_prep(buf, plan.d, plan.r_stack, plan.n_j + _LANE,
+                  mode=plan.xq_mode)
+    audio = _run_am(
+        xq,
+        jnp.asarray(plan.gh if gh is None else gh),
+        jnp.asarray(plan.gl if gl is None else gl),
+        block_n=plan.bn, groups=plan.groups, rows=plan.rows,
+        c_eff=plan.c_eff, r_stack=plan.r_stack, f32_dot=plan.f32_dot,
+        interpret=interpret, xq_mode=plan.xq_mode,
+        dot_direct=plan.dot_mode == "direct")
+    return _unstack(audio, plan.c_eff, plan.c_cnt, plan.r_stack, plan.m)
+
+
+def am_chain_pallas(buf, kernel_bank, decimation, block_n=4096,
+                    precision="bf16x3", interpret=False, xq_mode="nt",
+                    dot_mode="scratch"):
+    """Fused AM chain over a tail-prepended planar RF buffer.
+
+    Returns audio (C, M) float32 in [-1, 1]; M = (Nb - T)//D + 1. No
+    streaming carries beyond the caller's raw RF tail (the AM chain is
+    memoryless past the filter window, src/am.cu:21-50)."""
+    plan = am_chain_plan(kernel_bank, decimation, buf.shape[-1],
+                         block_n=block_n, precision=precision,
+                         xq_mode=xq_mode, dot_mode=dot_mode)
+    return am_chain_apply(plan, buf, interpret=interpret)
 
 
 # ---------------------------------------------------------------------------
@@ -449,12 +549,19 @@ def am_chain_pallas(buf, kernel_bank, decimation, block_n=4096,
 
 def _fm_chain_kernel(*refs,
                      groups, rows, c_eff, r_stack, gain, b0, cc, a_pole,
-                     log_bn, f32_dot, xq_mode, ablate="full"):
+                     log_bn, f32_dot, xq_mode, last_i, last_col, last_r,
+                     dot_direct=False, ablate="full"):
     nx = _n_xq_parts(xq_mode)
     xq_refs, halo_refs = refs[:nx], refs[nx:2 * nx]
-    (gh_ref, gl_ref, base_ref, bt_ref, pj_ref, spow_ref, jpow_ref,
-     fcar0_ref, zcar0_ref, audio_ref, fcar_ref, zcar_ref,
-     w_ref, carry_ref) = refs[2 * nx:]
+    if dot_direct:  # no W'^T scratch operand in direct-dot mode
+        (gh_ref, gl_ref, base_ref, bt_ref, pj_ref, spow_ref, jpow_ref,
+         fcar0_ref, zcar0_ref, audio_ref, fcar_ref, zcar_ref,
+         carry_ref) = refs[2 * nx:]
+        w_ref = None
+    else:
+        (gh_ref, gl_ref, base_ref, bt_ref, pj_ref, spow_ref, jpow_ref,
+         fcar0_ref, zcar0_ref, audio_ref, fcar_ref, zcar_ref,
+         w_ref, carry_ref) = refs[2 * nx:]
     bn = audio_ref.shape[1]
     i = pl.program_id(0)
     n_i = pl.num_programs(0)
@@ -482,7 +589,7 @@ def _fm_chain_kernel(*refs,
     # ---- 1) stacked windows + tap-bank contraction -----------------------
     v = _build_v(xq_refs, halo_refs, xq_mode)
     y = _window_dot(v, gh_ref, gl_ref, w_ref, bn, groups, rows, f32_dot,
-                    nt=xq_mode == "nt")
+                    nt=xq_mode == "nt", direct=dot_direct)
     if ablate == "dot":
         return _early_out([y])
 
@@ -569,22 +676,31 @@ def _fm_chain_kernel(*refs,
     carry_ref[:, 1:2] = f_ims[r_stack - 1][:, bn - 1:bn]
     carry_ref[:, 2:3] = zcol[:, bn - 1:bn]
 
-    # ---- export final streaming state ------------------------------------
-    @pl.when(i == n_i - 1)
+    # ---- export final streaming state at the last REAL output ------------
+    # M may be padded up to the R*128 grid (pad-and-mask, round 3): output
+    # m-1 sits at grid step last_i, coarse column last_col, phase last_r —
+    # only equal to (n_i-1, bn-1, R-1) when M was already aligned. The
+    # de-emphasis state at j = J*R + r is z[j] = partials[r][J]
+    # + a^(r+1) * zcol_shift[J] (zcol specializes this at r = R-1).
+    @pl.when(i == last_i)
     def _():
-        fcar_ref[:, 0:1] = f_res[r_stack - 1][:, bn - 1:bn]
-        fcar_ref[:, 1:2] = f_ims[r_stack - 1][:, bn - 1:bn]
-        zcar_ref[:, 0:1] = zcol[:, bn - 1:bn]
+        fcar_ref[:, 0:1] = f_res[last_r][:, last_col:last_col + 1]
+        fcar_ref[:, 1:2] = f_ims[last_r][:, last_col:last_col + 1]
+        zcar_ref[:, 0:1] = (
+            partials[last_r][:, last_col:last_col + 1]
+            + (a_pole ** (last_r + 1))
+            * zcol_shift[:, last_col:last_col + 1])
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("block_n", "groups", "rows", "c_eff", "r_stack",
                      "gain", "b0", "cc", "a1", "f32_dot", "interpret",
-                     "ablate", "xq_mode"))
+                     "ablate", "xq_mode", "m_real", "dot_direct"))
 def _run_chain(base, xq, gh, gl, bt, pj, fcar0, zcar0, *,
                block_n, groups, rows, c_eff, r_stack, gain, b0, cc, a1,
-               f32_dot, interpret, ablate="full", xq_mode="flat"):
+               f32_dot, interpret, ablate="full", xq_mode="flat",
+               m_real=None, dot_direct=False):
     xq_parts = xq if isinstance(xq, tuple) else (xq,)
     n_coarse_total = _n_coarse_of(xq_parts[0], xq_mode)
     k_rows = gh.shape[1]
@@ -600,10 +716,16 @@ def _run_chain(base, xq, gh, gl, bt, pj, fcar0, zcar0, *,
     jpow = np.power(a_r_mult, np.arange(1, bn + 1),
                     dtype=np.float64).astype(np.float32)[None, :]
 
+    m_eff = n_out * r_stack
+    j_last = (m_eff if m_real is None else m_real) - 1
     kernel = functools.partial(
         _fm_chain_kernel, groups=groups, rows=rows, c_eff=c_eff,
         r_stack=r_stack, gain=gain, b0=b0, cc=cc, a_pole=a,
-        log_bn=log_bn, f32_dot=f32_dot, xq_mode=xq_mode, ablate=ablate)
+        log_bn=log_bn, f32_dot=f32_dot, xq_mode=xq_mode, ablate=ablate,
+        dot_direct=dot_direct,
+        last_i=(j_last // r_stack) // bn,
+        last_col=(j_last // r_stack) % bn,
+        last_r=j_last % r_stack)
 
     n_blk = n_out // bn
     vm = pltpu.VMEM
@@ -637,10 +759,9 @@ def _run_chain(base, xq, gh, gl, bt, pj, fcar0, zcar0, *,
             jax.ShapeDtypeStruct((c_eff, 2), jnp.float32),
             jax.ShapeDtypeStruct((c_eff, 1), jnp.float32),
         ),
-        scratch_shapes=[
-            pltpu.VMEM(w_shape, w_dtype),
-            pltpu.VMEM((c_eff, 8), jnp.float32),
-        ],
+        scratch_shapes=(
+            ([] if dot_direct else [pltpu.VMEM(w_shape, w_dtype)])
+            + [pltpu.VMEM((c_eff, 8), jnp.float32)]),
         interpret=interpret,
     )(*xq_parts, *xq_parts, gh, gl, base, bt, pj, jnp.asarray(spow),
       jnp.asarray(jpow), fcar0, zcar0)
@@ -689,11 +810,159 @@ def _phasor_tables(shifts_hz, sample_rate, dec, r_stack, bn, n_blk):
     return pj, bt
 
 
+@dataclasses.dataclass(frozen=True)
+class FmChainPlan:
+    """Host-side compile plan for the fused FM chain.
+
+    Everything static the kernel launch needs (geometry, precision grade,
+    chain coefficients) plus the host-precomputed numpy tables (stacked
+    tap matrix hi/lo, rotor phasor tables). A plan is built once per
+    (model config, buffer length) and reused across streaming steps; the
+    table arrays may be overridden with *traced* equivalents in
+    fm_chain_apply — that is how the sharded step (parallel/channelizer.py)
+    feeds each channel shard its own tables through shard_map.
+    """
+
+    d: int
+    t: int
+    c_cnt: int
+    c_eff: int
+    r_stack: int
+    groups: int
+    rows: int
+    bn: int
+    n_j: int      # coarse columns after pad-and-mask (m_eff / R)
+    m: int        # real outputs
+    n_buf: int
+    f32_dot: str
+    xq_mode: str
+    gain: float
+    b0: float
+    cc: float
+    a1: float
+    dot_mode: str  # 'scratch' (W'^T staged in VMEM) | 'direct' (per-group dots)
+    gh: object    # numpy-backed device constants (hashability not needed)
+    gl: object
+    pj: object
+    bt: object
+
+
+def fm_chain_plan(kernel_bank, decimation, gain, deemph_b, deemph_a,
+                  n_buf, shifts_hz, sample_rate,
+                  block_n=4096, precision="bf16x3", xq_mode="nt",
+                  dot_mode="scratch"):
+    """Build the host-side plan for a tail-prepended buffer of n_buf samples.
+
+    Raises ValueError when the shape cannot run fused (T % D != 0, or the
+    taps outrun the 128-coarse-column halo window). M is padded up to the
+    R*128 grid and masked (round 3) — any output count works.
+    """
+    kh = np.asarray(kernel_bank)
+    k2c, _, t = kh.shape
+    c_cnt = k2c // 2
+    d = int(decimation)
+    m = (int(n_buf) - t) // d + 1
+    geom = _stack_geometry(c_cnt, t, d, m, pad_m=True)
+    if geom is None:
+        raise ValueError(
+            f"unsupported (D={d}, T={t}, M={m}) for fused chain")
+    c_eff, r_stack, groups, m_eff = geom
+    rows = r_stack * 2 * d
+    n_j = m_eff // r_stack
+    # VMEM guard (FM: y, pj, rotor/disc/de-emph planes, audio + the
+    # (bn, K) window scratch; Mosaic liveness reuse measured ~4.5
+    # full-height arrays): cap bn so the block fits scoped VMEM.
+    # At the full-lane R=16 flagship geometry (R*2C=512, K=256) the cap
+    # evaluates to 1367 and _pick_bn lands on bn=1024 — the geometry that
+    # produced the round-2 ~6800-7250 Msps headline. (The block_n=4096
+    # default only engages at smaller R*2C; pre-R-growth it measured
+    # ~5 us/step faster than 2048 and 8192 OOM'd.)
+    bn = _pick_bn(n_j, min(block_n, max(_LANE, 3_500_000 // (
+        9 * r_stack * 2 * c_eff // 2 + groups * rows))))
+    g = _g_matrix_stacked(_pad_bank(kh, c_eff), d, c_eff, r_stack, groups,
+                          order="planar" if xq_mode == "nt"
+                          else "interleaved")
+    gh, gl, f32_dot = _split_g(g, precision)
+
+    b0 = float(deemph_b[0]) / float(deemph_a[0])
+    b1 = float(deemph_b[1]) / float(deemph_a[0])
+    a1 = float(deemph_a[1]) / float(deemph_a[0])
+    cc = b1 - a1 * b0  # TDF-II input coefficient
+
+    shifts_eff = tuple(float(f) for f in shifts_hz) \
+        + (0.0,) * (c_eff - c_cnt)
+    pj_np, bt_np = _phasor_tables(shifts_eff, sample_rate, d, r_stack, bn,
+                                  n_j // bn)
+    return FmChainPlan(
+        d=d, t=t, c_cnt=c_cnt, c_eff=c_eff, r_stack=r_stack, groups=groups,
+        rows=rows, bn=bn, n_j=n_j, m=m, n_buf=int(n_buf),
+        f32_dot=f32_dot, xq_mode=xq_mode, dot_mode=dot_mode,
+        gain=float(gain), b0=b0, cc=cc, a1=a1,
+        gh=np.asarray(gh), gl=np.asarray(gl), pj=pj_np, bt=bt_np)
+
+
+def fm_chain_apply(plan, buf, lo_table, n0_rot, carry_f, carry_z,
+                   gh=None, gl=None, pj=None, bt=None,
+                   interpret=False, ablate="full"):
+    """Run the fused chain under a prebuilt plan (traceable; shard-safe).
+
+    Args:
+      plan: FmChainPlan for this buffer length.
+      buf: planar (plan.n_buf,) RF including the (T-1)-sample history.
+      lo_table: (C, 4) digit-fraction table (numpy or traced — a traced
+        per-shard slice under shard_map is fine).
+      n0_rot: traced int32 scalar — global raw-sample index of window 0.
+      carry_f / carry_z: (C, 1) discriminator / de-emphasis carries.
+      gh/gl/pj/bt: optional traced overrides of the plan's host tables
+        (same shapes) — used by the sharded step to pass per-channel-shard
+        tables as shard_map operands.
+
+    Returns (audio (C, M), new_carry_f, new_carry_z) exactly like
+    fm_chain_pallas.
+    """
+    interpret = interpret or not is_tpu_backend()
+    if buf.shape[-1] != plan.n_buf:
+        raise ValueError(f"buffer length {buf.shape[-1]} != plan {plan.n_buf}")
+    c_cnt, c_eff, r_stack = plan.c_cnt, plan.c_eff, plan.r_stack
+    xq = _xq_prep(buf, plan.d, r_stack, plan.n_j + _LANE, mode=plan.xq_mode)
+
+    # traced base phasor e^{2i pi frac(f_c * n0 / Fs)} via the digit table
+    # (XLA-side: C sin/cos evaluations, negligible)
+    from gsdr_tpu.utils.phase import phase_fraction_from_table
+
+    pad_c = [(0, c_eff - c_cnt), (0, 0)]
+    table = jnp.pad(jnp.asarray(lo_table, jnp.float32), pad_c)
+    frac0 = phase_fraction_from_table(
+        jnp.asarray(n0_rot, jnp.int32).reshape(1), table[:, None, :])
+    theta0 = _TWO_PI * frac0  # (C_eff, 1)
+    base = jnp.concatenate(
+        [jnp.cos(theta0), jnp.sin(theta0)], axis=1)  # (C_eff, 2)
+
+    fcar0 = jnp.pad(
+        jnp.concatenate([carry_f.re, carry_f.im], axis=1), pad_c)
+    zcar0 = jnp.pad(jnp.asarray(carry_z), pad_c)
+
+    audio, fcar, zcar = _run_chain(
+        base, xq,
+        jnp.asarray(plan.gh if gh is None else gh),
+        jnp.asarray(plan.gl if gl is None else gl),
+        jnp.asarray(plan.bt if bt is None else bt),
+        jnp.asarray(plan.pj if pj is None else pj),
+        fcar0, zcar0,
+        block_n=plan.bn, groups=plan.groups, rows=plan.rows, c_eff=c_eff,
+        r_stack=r_stack, gain=plan.gain, b0=plan.b0, cc=plan.cc, a1=plan.a1,
+        f32_dot=plan.f32_dot, interpret=interpret, xq_mode=plan.xq_mode,
+        m_real=plan.m, ablate=ablate, dot_direct=plan.dot_mode == "direct")
+    new_f = ComplexArray(fcar[:c_cnt, 0:1], fcar[:c_cnt, 1:2])
+    return (_unstack(audio, c_eff, c_cnt, r_stack, plan.m), new_f,
+            zcar[:c_cnt])
+
+
 def fm_chain_pallas(buf, kernel_bank, lo_table, n0_rot, decimation, gain,
                     deemph_b, deemph_a, carry_f, carry_z, shifts_hz=None,
                     sample_rate=None,
                     block_n=4096, precision="bf16x3", interpret=False,
-                    xq_mode="nt"):
+                    xq_mode="nt", dot_mode="scratch", channel_split=0):
     """Run the fused chain over a tail-prepended planar RF buffer.
 
     Args:
@@ -712,70 +981,42 @@ def fm_chain_pallas(buf, kernel_bank, lo_table, n0_rot, decimation, gain,
 
     Returns (audio (C, M), new_carry_f, new_carry_z), M = (Nb - T)//D + 1,
     bit-compatible with the unfused FmChannelizer state pytree.
+
+    ``channel_split`` > 0 runs the bank as independent kernel calls of at
+    most that many channels each (round-3 large-C geometry fix: at C=64
+    one call is M=R*2C=2048 rows and the VMEM cap collapses bn to 128;
+    two 32-channel calls keep bn at 512+. The nt xq prep is pad+reshape
+    only, so repeating it per group is nearly free). Channels are
+    independent, so the split is exact.
     """
-    interpret = interpret or not is_tpu_backend()
     kh = np.asarray(kernel_bank)
-    k2c, _, t = kh.shape
-    c_cnt = k2c // 2
-    d = int(decimation)
-    n = buf.shape[-1]
-    m = (n - t) // d + 1
-    geom = _stack_geometry(c_cnt, t, d, m)
-    if geom is None:
-        raise ValueError(
-            f"unsupported (D={d}, T={t}, M={m}) for fused chain")
-    c_eff, r_stack, groups, _ = geom
-    rows = r_stack * 2 * d
-    n_j = m // r_stack
-    # VMEM guard (FM: y, pj, rotor/disc/de-emph planes, audio + the
-    # (bn, K) window scratch; Mosaic liveness reuse measured ~4.5
-    # full-height arrays): cap bn so the block fits scoped VMEM.
-    # At the full-lane R=16 flagship geometry (R*2C=512, K=256) the cap
-    # evaluates to 1367 and _pick_bn lands on bn=1024 — the geometry that
-    # produced the round-2 ~6800-7250 Msps headline. (The block_n=4096
-    # default only engages at smaller R*2C; pre-R-growth it measured
-    # ~5 us/step faster than 2048 and 8192 OOM'd.)
-    bn = _pick_bn(n_j, min(block_n, max(_LANE, 3_500_000 // (
-        9 * r_stack * 2 * c_eff // 2 + groups * rows))))
-    xq = _xq_prep(buf, d, r_stack, n_j + _LANE, mode=xq_mode)
-    g = _g_matrix_stacked(_pad_bank(kh, c_eff), d, c_eff, r_stack, groups,
-                          order="planar" if xq_mode == "nt"
-                          else "interleaved")
-    gh, gl, f32_dot = _split_g(g, precision)
-
-    b0 = float(deemph_b[0]) / float(deemph_a[0])
-    b1 = float(deemph_b[1]) / float(deemph_a[0])
-    a1 = float(deemph_a[1]) / float(deemph_a[0])
-    cc = b1 - a1 * b0  # TDF-II input coefficient
-
-    # traced base phasor e^{2i pi frac(f_c * n0 / Fs)} via the digit table
-    # (XLA-side: C sin/cos evaluations, negligible)
-    from gsdr_tpu.utils.phase import phase_fraction_from_table
-
-    table = np.zeros((c_eff, np.asarray(lo_table).shape[1]), np.float32)
-    table[:c_cnt] = np.asarray(lo_table, np.float32)
-    frac0 = phase_fraction_from_table(
-        jnp.asarray(n0_rot, jnp.int32).reshape(1),
-        jnp.asarray(table)[:, None, :])
-    theta0 = _TWO_PI * frac0  # (C_eff, 1)
-    base = jnp.concatenate(
-        [jnp.cos(theta0), jnp.sin(theta0)], axis=1)  # (C_eff, 2)
-
-    n_blk = n_j // bn
-    shifts_eff = tuple(shifts_hz) + (0.0,) * (c_eff - c_cnt)
-    pj_np, bt_np = _phasor_tables(shifts_eff, sample_rate, d, r_stack, bn,
-                                  n_blk)
-    pad_c = [(0, c_eff - c_cnt), (0, 0)]
-    fcar0 = jnp.pad(
-        jnp.concatenate([carry_f.re, carry_f.im], axis=1), pad_c)
-    zcar0 = jnp.pad(jnp.asarray(carry_z), pad_c)
-
-    audio, fcar, zcar = _run_chain(
-        base, xq, gh, gl, jnp.asarray(bt_np), jnp.asarray(pj_np),
-        fcar0, zcar0,
-        block_n=bn, groups=groups, rows=rows, c_eff=c_eff, r_stack=r_stack,
-        gain=float(gain), b0=b0, cc=cc, a1=a1,
-        f32_dot=f32_dot, interpret=interpret, xq_mode=xq_mode)
-    new_f = ComplexArray(fcar[:c_cnt, 0:1], fcar[:c_cnt, 1:2])
-    return (_unstack(audio, c_eff, c_cnt, r_stack, m), new_f,
-            zcar[:c_cnt])
+    c_cnt = kh.shape[0] // 2
+    cs = int(channel_split)
+    if cs > 0 and c_cnt > cs:
+        lo_np = np.asarray(lo_table)
+        shifts = tuple(shifts_hz)
+        audios, f_parts, z_parts = [], [], []
+        for c0 in range(0, c_cnt, cs):
+            c1 = min(c0 + cs, c_cnt)
+            a_, f_, z_ = fm_chain_pallas(
+                buf, kh[2 * c0:2 * c1], lo_np[c0:c1], n0_rot,
+                decimation, gain, deemph_b, deemph_a,
+                carry_f[c0:c1], carry_z[c0:c1],
+                shifts_hz=shifts[c0:c1], sample_rate=sample_rate,
+                block_n=block_n, precision=precision, interpret=interpret,
+                xq_mode=xq_mode, dot_mode=dot_mode)
+            audios.append(a_)
+            f_parts.append(f_)
+            z_parts.append(z_)
+        return (
+            jnp.concatenate(audios, axis=0),
+            ComplexArray(
+                jnp.concatenate([f.re for f in f_parts], axis=0),
+                jnp.concatenate([f.im for f in f_parts], axis=0)),
+            jnp.concatenate(z_parts, axis=0))
+    plan = fm_chain_plan(kernel_bank, decimation, gain, deemph_b, deemph_a,
+                         buf.shape[-1], shifts_hz, sample_rate,
+                         block_n=block_n, precision=precision,
+                         xq_mode=xq_mode, dot_mode=dot_mode)
+    return fm_chain_apply(plan, buf, lo_table, n0_rot, carry_f, carry_z,
+                          interpret=interpret)

@@ -103,7 +103,7 @@ def qpsk256_demodulate_pallas(x, constellation, out_dtype=jnp.int32,
     (same score arithmetic, same lowest-index tie-break).
     """
     from gsdr_tpu.backend import is_tpu_backend
-from gsdr_tpu.carray import ComplexArray, is_planar
+    from gsdr_tpu.carray import ComplexArray, is_planar
 
     interpret = interpret or not is_tpu_backend()
     if is_planar(constellation):

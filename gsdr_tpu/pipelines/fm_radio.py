@@ -85,6 +85,14 @@ class FmChannelizer:
     # the floor is the polynomial atan2 ~1e-6 rad and rotor-table
     # evaluation order, not contraction precision); bf16x2 ~7e-4.
     precision: str = "bf16x3"
+    # fused-kernel window staging: 'scratch' (W'^T staged in VMEM) |
+    # 'direct' (per-group NT dots on sublane-offset slices, no scratch) —
+    # see kernels/fm_chain_pallas._window_dot. Same math either way.
+    dot_mode: str = "scratch"
+    # max channels per fused kernel call (0 = no split): large banks split
+    # into independent calls so the per-call VMEM footprint keeps bn big
+    # (kernels/fm_chain_pallas, round-3 64-channel geometry fix)
+    channel_split: int = 0
 
     # -- derived (host-side) -------------------------------------------------
     @property
@@ -158,11 +166,20 @@ class FmChannelizer:
         )
 
         m_out = (buf.shape[-1] - t) // self.decimation + 1
+        fused_ok = fused_chain_supported(self.decimation, t, m_out,
+                                         self.num_channels)
         use_pallas = self.impl == "pallas" or (
-            self.impl == "auto"
-            and is_tpu_backend()
-            and fused_chain_supported(self.decimation, t, m_out,
-                                      self.num_channels))
+            self.impl == "auto" and is_tpu_backend() and fused_ok)
+        if self.impl == "auto" and is_tpu_backend() and not fused_ok:
+            # Surface the perf cliff: the XLA chain is ~50x slower than
+            # the fused kernel on this hardware (BASELINE.md).
+            import warnings
+            warnings.warn(
+                f"FmChannelizer: shape (D={self.decimation}, T={t}, "
+                f"M={m_out}) cannot run the fused Pallas chain "
+                "(T % D != 0 or taps exceed the halo window); falling "
+                "back to the ~50x slower XLA path.",
+                stacklevel=2)
         if use_pallas:
             # single fused Pallas kernel: conv + rotor + discriminator +
             # de-emphasis, one HBM read and one write; state-compatible
@@ -175,7 +192,8 @@ class FmChannelizer:
                 disc_carry, deemph_zi,
                 shifts_hz=tuple(self._shifts()),
                 sample_rate=self.sample_rate,
-                precision=self.precision)
+                precision=self.precision, dot_mode=self.dot_mode,
+                channel_split=self.channel_split)
             new_tail = buf[..., buf.shape[-1] - (t - 1):]
             n0_new = (n0 + jnp.int32(n % fs)) % fs
             return (n0_new, new_tail, new_carry, new_zi), audio
