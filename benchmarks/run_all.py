@@ -170,26 +170,38 @@ def bench_qpsk(n, iters):
             "value": round(n / sec / 1e6, 2), "unit": "Msymbols/s"}
 
 
-def bench_qpsk256(n, iters, ctype=None):
+def bench_qpsk256(n, iters, ctype=None, awgn=False):
     """Config 5 shape (single-chip portion): 256-ary loopback.
 
-    Rectangular uses the O(1) arithmetic fast paths; circular is the
-    exhaustive nearest-neighbor demod (XLA-fused matmul+argmin). Both are
-    fast enough that ``iters`` is multiplied up to beat dispatch noise."""
+    Rectangular uses the O(1) arithmetic fast paths; circular the
+    round-3 ring-arithmetic mod + ring-NN demod (exhaustive NN stays
+    the ops-level default). ``awgn=True`` adds a precomputed complex
+    noise vector between tx and rx (round-3 honesty row: the clean
+    composite is constant-folding-prone and unrepresentative of a
+    deployed link; the noise is fixed across iterations, which keeps the
+    channel add live because tx varies with the carried state)."""
     from gsdr_tpu.ops.qpsk256 import RECTANGULAR
 
     ctype = RECTANGULAR if ctype is None else ctype
     modem = Qpsk256Modem(constellation_type=ctype)
     syms = jnp.asarray(
         np.random.default_rng(0).integers(0, 256, n), jnp.int32)
+    r = np.random.default_rng(1)
+    sigma = 0.05 if awgn else 0.0  # ~20 dB SNR at unit-ish symbol power
+    nre = jnp.asarray(sigma * r.standard_normal(n), jnp.float32)
+    nim = jnp.asarray(sigma * r.standard_normal(n), jnp.float32)
 
     def step(state, s):
         s = (s + state.astype(jnp.int32)) % 256
         tx = modem.tx(s)
+        if awgn:
+            tx = ComplexArray(tx.re + nre, tx.im + nim)
         out = modem.rx(tx)
         return (jnp.sum(out) % 1021).astype(jnp.float32), out
 
     name = "rect" if ctype == RECTANGULAR else "circ"
+    if awgn:
+        name += "_awgn"
     sec = time_step(step, jnp.zeros(()), syms, iters=iters * 200)
     return {"metric": f"qpsk256_loopback_{name}_msym_s",
             "value": round(n / sec / 1e6, 2), "unit": "Msymbols/s"}
@@ -239,7 +251,9 @@ def main(argv=None):
         lambda: bench_pfb(n, iters, impl="pallas"),
         lambda: bench_qpsk(n, iters),
         lambda: bench_qpsk256(min(n, 1 << 19), iters),
-        lambda: bench_qpsk256(min(n, 1 << 19), iters, ctype=1),  # CIRC NN
+        lambda: bench_qpsk256(min(n, 1 << 19), iters, ctype=1),  # CIRC rings
+        lambda: bench_qpsk256(min(n, 1 << 19), iters, awgn=True),
+        lambda: bench_qpsk256(min(n, 1 << 19), iters, ctype=1, awgn=True),
         lambda: bench_iir(n, iters),
     ]
     # print as each row lands (a late failure must not eat earlier rows)

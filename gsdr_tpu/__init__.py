@@ -61,7 +61,11 @@ from gsdr_tpu.ops.resample import (
 from gsdr_tpu.ops.qpsk256 import (
     qpsk256_constellation,
     qpsk256_demodulate,
+    qpsk256_demodulate_circular,
+    qpsk256_demodulate_rect,
     qpsk256_modulate,
+    qpsk256_modulate_circular,
+    qpsk256_modulate_rect,
 )
 
 __version__ = "0.1.0"
@@ -106,5 +110,9 @@ __all__ = [
     "unpack_2bit_symbols",
     "qpsk256_constellation",
     "qpsk256_modulate",
+    "qpsk256_modulate_rect",
+    "qpsk256_modulate_circular",
     "qpsk256_demodulate",
+    "qpsk256_demodulate_rect",
+    "qpsk256_demodulate_circular",
 ]

@@ -283,7 +283,7 @@ _NT_DIMS = (((1,), (1,)), ((), ()))  # contract lhs dim1 x rhs dim1 (A @ B^T)
 
 
 def _window_dot(v, gh_ref, gl_ref, w_ref, bn, groups, rows, f32_dot,
-                nt=False, direct=False):
+                nt=False):
     """Contract the stacked tap bank with ``groups`` full-height shifted
     copies of the window source ``v`` (from _build_v), as bf16x3 / bf16x2 /
     exact f32. Shared by the FM and AM fused kernels.
@@ -294,45 +294,9 @@ def _window_dot(v, gh_ref, gl_ref, w_ref, bn, groups, rows, f32_dot,
     the MXU consumes the transposed RHS natively, so no transpose exists
     anywhere on the path (the point of the 'nt' input mode).
 
-    direct=True (nt only, round 3): skip the W'^T scratch entirely — one
-    NT dot per shift group against the sublane-offset slice v[g:g+bn, :],
-    with G' lane-sliced per group. Same MXU FLOPs (the K=groups*rows
-    Toeplitz redundancy is structural — each of R stacked output phases
-    spans p_cnt+R-1 shift slots, so a dense dot cannot read fewer), but
-    deletes the (bn, K) scratch write+read and its VMEM footprint.
-
     bf16x2 passes a bf16 ``w_ref``: the window scratch is built directly
     in bf16 (the signal operand is quantized anyway in this grade), which
     halves the vreg traffic of the narrow 32-lane W build."""
-    if direct:
-        if not nt:
-            raise NotImplementedError("direct window dot requires nt mode")
-
-        def dot_nt(a, s, exact=False):
-            kw = {"precision": jax.lax.Precision.HIGHEST} if exact else {}
-            return jax.lax.dot_general(
-                a, s, _NT_DIMS, preferred_element_type=jnp.float32, **kw)
-
-        if f32_dot == "f32":
-            y = None
-            for g in range(groups):
-                t = dot_nt(gh_ref[:, g * rows:(g + 1) * rows],
-                           v[g:g + bn, :], exact=True)
-                y = t if y is None else y + t
-            return y
-        vh = v.astype(jnp.bfloat16)
-        vl = (None if f32_dot == "bf16x2"
-              else (v - vh.astype(jnp.float32)).astype(jnp.bfloat16))
-        y = None
-        for g in range(groups):
-            gh_g = gh_ref[:, g * rows:(g + 1) * rows]
-            sh = vh[g:g + bn, :]
-            t = dot_nt(gh_g, sh) + dot_nt(
-                gl_ref[:, g * rows:(g + 1) * rows], sh)
-            if vl is not None:
-                t = t + dot_nt(gh_g, vl[g:g + bn, :])
-            y = t if y is None else y + t
-        return y
     if w_ref.dtype == jnp.bfloat16:
         v = v.astype(jnp.bfloat16)
     # W goes through scratch on purpose: building it as one concatenated
@@ -378,8 +342,7 @@ def _window_dot(v, gh_ref, gl_ref, w_ref, bn, groups, rows, f32_dot,
 # AM fused chain
 # ---------------------------------------------------------------------------
 
-def _am_chain_kernel(*refs, groups, rows, c_eff, r_stack, f32_dot, xq_mode,
-                     dot_direct=False):
+def _am_chain_kernel(*refs, groups, rows, c_eff, r_stack, f32_dot, xq_mode):
     """Fused AM chain: stacked windows+dot + envelope 2*clamp(|.|,0,1)-1
     (the reference's fused k_Am, /root/reference/src/am.cu:21-50). The LO
     window-start rotor is a unit phasor and the envelope is magnitude-only,
@@ -387,15 +350,11 @@ def _am_chain_kernel(*refs, groups, rows, c_eff, r_stack, f32_dot, xq_mode,
     is already in the complex tap bank."""
     nx = _n_xq_parts(xq_mode)
     xq_refs, halo_refs = refs[:nx], refs[nx:2 * nx]
-    if dot_direct:
-        gh_ref, gl_ref, audio_ref = refs[2 * nx:]
-        w_ref = None
-    else:
-        gh_ref, gl_ref, audio_ref, w_ref = refs[2 * nx:]
+    gh_ref, gl_ref, audio_ref, w_ref = refs[2 * nx:]
     bn = audio_ref.shape[1]
     v = _build_v(xq_refs, halo_refs, xq_mode)
     y = _window_dot(v, gh_ref, gl_ref, w_ref, bn, groups, rows, f32_dot,
-                    nt=xq_mode == "nt", direct=dot_direct)
+                    nt=xq_mode == "nt")
     for r in range(r_stack):
         row0 = r * 2 * c_eff
         y_re = y[row0:row0 + c_eff, :]
@@ -408,9 +367,9 @@ def _am_chain_kernel(*refs, groups, rows, c_eff, r_stack, f32_dot, xq_mode,
 @functools.partial(
     jax.jit,
     static_argnames=("block_n", "groups", "rows", "c_eff", "r_stack",
-                     "f32_dot", "interpret", "xq_mode", "dot_direct"))
+                     "f32_dot", "interpret", "xq_mode"))
 def _run_am(xq, gh, gl, *, block_n, groups, rows, c_eff, r_stack, f32_dot,
-            interpret, xq_mode="flat", dot_direct=False):
+            interpret, xq_mode="flat"):
     xq_parts = xq if isinstance(xq, tuple) else (xq,)
     n_coarse_total = _n_coarse_of(xq_parts[0], xq_mode)
     k_rows = gh.shape[1]
@@ -418,7 +377,7 @@ def _run_am(xq, gh, gl, *, block_n, groups, rows, c_eff, r_stack, f32_dot,
     bn = block_n
     kernel = functools.partial(_am_chain_kernel, groups=groups, rows=rows,
                                c_eff=c_eff, r_stack=r_stack, f32_dot=f32_dot,
-                               xq_mode=xq_mode, dot_direct=dot_direct)
+                               xq_mode=xq_mode)
     vm = pltpu.VMEM
     xq_specs, halo_specs = _xq_specs(xq_mode, rows, bn)
     w_shape = (bn, k_rows) if xq_mode == "nt" else (k_rows, bn)
@@ -433,8 +392,7 @@ def _run_am(xq, gh, gl, *, block_n, groups, rows, c_eff, r_stack, f32_dot,
         out_specs=pl.BlockSpec((r_stack * c_eff, bn), lambda i: (0, i),
                                memory_space=vm),
         out_shape=jax.ShapeDtypeStruct((r_stack * c_eff, n_out), jnp.float32),
-        scratch_shapes=([] if dot_direct
-                        else [pltpu.VMEM(w_shape, w_dtype)]),
+        scratch_shapes=[pltpu.VMEM(w_shape, w_dtype)],
         interpret=interpret,
     )(*xq_parts, *xq_parts, gh, gl)
 
@@ -475,13 +433,12 @@ class AmChainPlan:
     n_buf: int
     f32_dot: str
     xq_mode: str
-    dot_mode: str
     gh: object
     gl: object
 
 
 def am_chain_plan(kernel_bank, decimation, n_buf, block_n=4096,
-                  precision="bf16x3", xq_mode="nt", dot_mode="scratch"):
+                  precision="bf16x3", xq_mode="nt"):
     """Host-side plan for the fused AM chain over an n_buf-sample buffer."""
     kh = np.asarray(kernel_bank)
     k2c, _, t = kh.shape
@@ -505,7 +462,7 @@ def am_chain_plan(kernel_bank, decimation, n_buf, block_n=4096,
     return AmChainPlan(
         d=d, t=t, c_cnt=c_cnt, c_eff=c_eff, r_stack=r_stack, groups=groups,
         rows=rows, bn=bn, n_j=n_j, m=m, n_buf=int(n_buf),
-        f32_dot=f32_dot, xq_mode=xq_mode, dot_mode=dot_mode,
+        f32_dot=f32_dot, xq_mode=xq_mode,
         gh=np.asarray(gh), gl=np.asarray(gl))
 
 
@@ -524,14 +481,12 @@ def am_chain_apply(plan, buf, gh=None, gl=None, interpret=False):
         jnp.asarray(plan.gl if gl is None else gl),
         block_n=plan.bn, groups=plan.groups, rows=plan.rows,
         c_eff=plan.c_eff, r_stack=plan.r_stack, f32_dot=plan.f32_dot,
-        interpret=interpret, xq_mode=plan.xq_mode,
-        dot_direct=plan.dot_mode == "direct")
+        interpret=interpret, xq_mode=plan.xq_mode)
     return _unstack(audio, plan.c_eff, plan.c_cnt, plan.r_stack, plan.m)
 
 
 def am_chain_pallas(buf, kernel_bank, decimation, block_n=4096,
-                    precision="bf16x3", interpret=False, xq_mode="nt",
-                    dot_mode="scratch"):
+                    precision="bf16x3", interpret=False, xq_mode="nt"):
     """Fused AM chain over a tail-prepended planar RF buffer.
 
     Returns audio (C, M) float32 in [-1, 1]; M = (Nb - T)//D + 1. No
@@ -539,7 +494,7 @@ def am_chain_pallas(buf, kernel_bank, decimation, block_n=4096,
     memoryless past the filter window, src/am.cu:21-50)."""
     plan = am_chain_plan(kernel_bank, decimation, buf.shape[-1],
                          block_n=block_n, precision=precision,
-                         xq_mode=xq_mode, dot_mode=dot_mode)
+                         xq_mode=xq_mode)
     return am_chain_apply(plan, buf, interpret=interpret)
 
 
@@ -550,18 +505,12 @@ def am_chain_pallas(buf, kernel_bank, decimation, block_n=4096,
 def _fm_chain_kernel(*refs,
                      groups, rows, c_eff, r_stack, gain, b0, cc, a_pole,
                      log_bn, f32_dot, xq_mode, last_i, last_col, last_r,
-                     dot_direct=False, ablate="full"):
+                     ablate="full"):
     nx = _n_xq_parts(xq_mode)
     xq_refs, halo_refs = refs[:nx], refs[nx:2 * nx]
-    if dot_direct:  # no W'^T scratch operand in direct-dot mode
-        (gh_ref, gl_ref, base_ref, bt_ref, pj_ref, spow_ref, jpow_ref,
-         fcar0_ref, zcar0_ref, audio_ref, fcar_ref, zcar_ref,
-         carry_ref) = refs[2 * nx:]
-        w_ref = None
-    else:
-        (gh_ref, gl_ref, base_ref, bt_ref, pj_ref, spow_ref, jpow_ref,
-         fcar0_ref, zcar0_ref, audio_ref, fcar_ref, zcar_ref,
-         w_ref, carry_ref) = refs[2 * nx:]
+    (gh_ref, gl_ref, base_ref, bt_ref, pj_ref, spow_ref, jpow_ref,
+     fcar0_ref, zcar0_ref, audio_ref, fcar_ref, zcar_ref,
+     w_ref, carry_ref) = refs[2 * nx:]
     bn = audio_ref.shape[1]
     i = pl.program_id(0)
     n_i = pl.num_programs(0)
@@ -589,7 +538,7 @@ def _fm_chain_kernel(*refs,
     # ---- 1) stacked windows + tap-bank contraction -----------------------
     v = _build_v(xq_refs, halo_refs, xq_mode)
     y = _window_dot(v, gh_ref, gl_ref, w_ref, bn, groups, rows, f32_dot,
-                    nt=xq_mode == "nt", direct=dot_direct)
+                    nt=xq_mode == "nt")
     if ablate == "dot":
         return _early_out([y])
 
@@ -696,11 +645,11 @@ def _fm_chain_kernel(*refs,
     jax.jit,
     static_argnames=("block_n", "groups", "rows", "c_eff", "r_stack",
                      "gain", "b0", "cc", "a1", "f32_dot", "interpret",
-                     "ablate", "xq_mode", "m_real", "dot_direct"))
+                     "ablate", "xq_mode", "m_real"))
 def _run_chain(base, xq, gh, gl, bt, pj, fcar0, zcar0, *,
                block_n, groups, rows, c_eff, r_stack, gain, b0, cc, a1,
                f32_dot, interpret, ablate="full", xq_mode="flat",
-               m_real=None, dot_direct=False):
+               m_real=None):
     xq_parts = xq if isinstance(xq, tuple) else (xq,)
     n_coarse_total = _n_coarse_of(xq_parts[0], xq_mode)
     k_rows = gh.shape[1]
@@ -722,7 +671,6 @@ def _run_chain(base, xq, gh, gl, bt, pj, fcar0, zcar0, *,
         _fm_chain_kernel, groups=groups, rows=rows, c_eff=c_eff,
         r_stack=r_stack, gain=gain, b0=b0, cc=cc, a_pole=a,
         log_bn=log_bn, f32_dot=f32_dot, xq_mode=xq_mode, ablate=ablate,
-        dot_direct=dot_direct,
         last_i=(j_last // r_stack) // bn,
         last_col=(j_last // r_stack) % bn,
         last_r=j_last % r_stack)
@@ -759,9 +707,10 @@ def _run_chain(base, xq, gh, gl, bt, pj, fcar0, zcar0, *,
             jax.ShapeDtypeStruct((c_eff, 2), jnp.float32),
             jax.ShapeDtypeStruct((c_eff, 1), jnp.float32),
         ),
-        scratch_shapes=(
-            ([] if dot_direct else [pltpu.VMEM(w_shape, w_dtype)])
-            + [pltpu.VMEM((c_eff, 8), jnp.float32)]),
+        scratch_shapes=[
+            pltpu.VMEM(w_shape, w_dtype),
+            pltpu.VMEM((c_eff, 8), jnp.float32),
+        ],
         interpret=interpret,
     )(*xq_parts, *xq_parts, gh, gl, base, bt, pj, jnp.asarray(spow),
       jnp.asarray(jpow), fcar0, zcar0)
@@ -840,7 +789,6 @@ class FmChainPlan:
     b0: float
     cc: float
     a1: float
-    dot_mode: str  # 'scratch' (W'^T staged in VMEM) | 'direct' (per-group dots)
     gh: object    # numpy-backed device constants (hashability not needed)
     gl: object
     pj: object
@@ -849,8 +797,7 @@ class FmChainPlan:
 
 def fm_chain_plan(kernel_bank, decimation, gain, deemph_b, deemph_a,
                   n_buf, shifts_hz, sample_rate,
-                  block_n=4096, precision="bf16x3", xq_mode="nt",
-                  dot_mode="scratch"):
+                  block_n=4096, precision="bf16x3", xq_mode="nt"):
     """Build the host-side plan for a tail-prepended buffer of n_buf samples.
 
     Raises ValueError when the shape cannot run fused (T % D != 0, or the
@@ -896,7 +843,7 @@ def fm_chain_plan(kernel_bank, decimation, gain, deemph_b, deemph_a,
     return FmChainPlan(
         d=d, t=t, c_cnt=c_cnt, c_eff=c_eff, r_stack=r_stack, groups=groups,
         rows=rows, bn=bn, n_j=n_j, m=m, n_buf=int(n_buf),
-        f32_dot=f32_dot, xq_mode=xq_mode, dot_mode=dot_mode,
+        f32_dot=f32_dot, xq_mode=xq_mode,
         gain=float(gain), b0=b0, cc=cc, a1=a1,
         gh=np.asarray(gh), gl=np.asarray(gl), pj=pj_np, bt=bt_np)
 
@@ -952,7 +899,7 @@ def fm_chain_apply(plan, buf, lo_table, n0_rot, carry_f, carry_z,
         block_n=plan.bn, groups=plan.groups, rows=plan.rows, c_eff=c_eff,
         r_stack=r_stack, gain=plan.gain, b0=plan.b0, cc=plan.cc, a1=plan.a1,
         f32_dot=plan.f32_dot, interpret=interpret, xq_mode=plan.xq_mode,
-        m_real=plan.m, ablate=ablate, dot_direct=plan.dot_mode == "direct")
+        m_real=plan.m, ablate=ablate)
     new_f = ComplexArray(fcar[:c_cnt, 0:1], fcar[:c_cnt, 1:2])
     return (_unstack(audio, c_eff, c_cnt, r_stack, plan.m), new_f,
             zcar[:c_cnt])
@@ -962,7 +909,7 @@ def fm_chain_pallas(buf, kernel_bank, lo_table, n0_rot, decimation, gain,
                     deemph_b, deemph_a, carry_f, carry_z, shifts_hz=None,
                     sample_rate=None,
                     block_n=4096, precision="bf16x3", interpret=False,
-                    xq_mode="nt", dot_mode="scratch", channel_split=0):
+                    xq_mode="nt"):
     """Run the fused chain over a tail-prepended planar RF buffer.
 
     Args:
@@ -982,41 +929,10 @@ def fm_chain_pallas(buf, kernel_bank, lo_table, n0_rot, decimation, gain,
     Returns (audio (C, M), new_carry_f, new_carry_z), M = (Nb - T)//D + 1,
     bit-compatible with the unfused FmChannelizer state pytree.
 
-    ``channel_split`` > 0 runs the bank as independent kernel calls of at
-    most that many channels each (round-3 large-C geometry fix: at C=64
-    one call is M=R*2C=2048 rows and the VMEM cap collapses bn to 128;
-    two 32-channel calls keep bn at 512+. The nt xq prep is pad+reshape
-    only, so repeating it per group is nearly free). Channels are
-    independent, so the split is exact.
     """
-    kh = np.asarray(kernel_bank)
-    c_cnt = kh.shape[0] // 2
-    cs = int(channel_split)
-    if cs > 0 and c_cnt > cs:
-        lo_np = np.asarray(lo_table)
-        shifts = tuple(shifts_hz)
-        audios, f_parts, z_parts = [], [], []
-        for c0 in range(0, c_cnt, cs):
-            c1 = min(c0 + cs, c_cnt)
-            a_, f_, z_ = fm_chain_pallas(
-                buf, kh[2 * c0:2 * c1], lo_np[c0:c1], n0_rot,
-                decimation, gain, deemph_b, deemph_a,
-                carry_f[c0:c1], carry_z[c0:c1],
-                shifts_hz=shifts[c0:c1], sample_rate=sample_rate,
-                block_n=block_n, precision=precision, interpret=interpret,
-                xq_mode=xq_mode, dot_mode=dot_mode)
-            audios.append(a_)
-            f_parts.append(f_)
-            z_parts.append(z_)
-        return (
-            jnp.concatenate(audios, axis=0),
-            ComplexArray(
-                jnp.concatenate([f.re for f in f_parts], axis=0),
-                jnp.concatenate([f.im for f in f_parts], axis=0)),
-            jnp.concatenate(z_parts, axis=0))
     plan = fm_chain_plan(kernel_bank, decimation, gain, deemph_b, deemph_a,
                          buf.shape[-1], shifts_hz, sample_rate,
                          block_n=block_n, precision=precision,
-                         xq_mode=xq_mode, dot_mode=dot_mode)
+                         xq_mode=xq_mode)
     return fm_chain_apply(plan, buf, lo_table, n0_rot, carry_f, carry_z,
                           interpret=interpret)

@@ -157,6 +157,106 @@ def qpsk256_modulate_rect(symbols, amplitude=1.0):
     return ComplexArray((i - 7.5) * scale, (q - 7.5) * scale)
 
 
+_CIRC_POINTS = (1, 8, 16, 24, 32, 40, 48, 56)
+_CIRC_RADII = (0.0, 0.3, 0.6, 0.85, 1.1, 1.35, 1.6, 1.85)
+_CIRC_STARTS = (0, 1, 9, 25, 49, 81, 121, 169)  # cumulative; remainder at 225
+_TWO_PI = 6.283185307179586
+
+
+def qpsk256_modulate_circular(symbols, amplitude=1.0):
+    """Arithmetic modulation for the CIRCULAR constellation (round 3).
+
+    Reconstructs the ring geometry (src/qpsk256.cu:41-71) per symbol:
+    ring k = searchsorted(starts, s) via 8 compares, angle
+    2*pi*(s-start_k)/points_k + 0.5*k (remainder: 2*pi*s/256 at r=0.95A),
+    then one f32 sin/cos pair — ~30 VPU ops instead of the 256-constant
+    select-sum (which is bit-identical but ~10x slower). Values agree
+    with the float64-built table to f32 sin/cos accuracy (~1e-7 rel,
+    five orders below the ~0.1A inter-point spacing), so decisions
+    through any of the demodulators are unaffected; use
+    qpsk256_modulate with the table when bit-identity to the reference
+    table matters more than speed."""
+    a = float(amplitude)
+    s = jnp.asarray(symbols).astype(jnp.int32)
+    ring = jnp.zeros(s.shape, jnp.int32)
+    for t in list(_CIRC_STARTS[1:]) + [225]:
+        ring = ring + (s >= t).astype(jnp.int32)  # 0..8 (8 = remainder)
+
+    def sel(table, default):
+        out = jnp.full(s.shape, float(default), jnp.float32)
+        for k in range(7, -1, -1):
+            out = jnp.where(ring == k, float(table[k]), out)
+        return out
+
+    radius = sel([r * a for r in _CIRC_RADII], 0.95 * a)
+    start = sel(_CIRC_STARTS, 0.0)
+    invp = sel([1.0 / p for p in _CIRC_POINTS], 1.0 / 256.0)
+    offs = jnp.where(ring == 8, 0.0, 0.5 * ring.astype(jnp.float32))
+    ang = _TWO_PI * (s.astype(jnp.float32) - start) * invp + offs
+    return ComplexArray(radius * jnp.cos(ang), radius * jnp.sin(ang))
+
+
+def qpsk256_demodulate_circular(x, amplitude=1.0, out_dtype=jnp.uint8):
+    """Ring-decomposed nearest-neighbor demod for CIRCULAR (round 3).
+
+    Within a full ring the nearest point is the nearest angle, so the
+    256-point exhaustive search reduces to 11 candidates: the origin
+    point (ring 0), the angularly-nearest point of each full ring 1..7
+    (angular error < pi/8, so cos(eps) evaluates exactly enough as a
+    2-term polynomial), and for the 31-point remainder ARC (symbols
+    225..255 span only ~0.73 turn of the 0.95A ring) the nearest in-arc
+    point plus the two constant arc endpoints. ~20x less arithmetic than
+    the exhaustive score matrix; decisions agree with qpsk256_demodulate
+    everywhere except exact Voronoi-boundary ties (measure zero — the
+    two scores round differently; both candidates are nearest). Verified
+    against the exhaustive demod in tests/test_qpsk256.py."""
+    a = float(amplitude)
+    xp = x if is_planar(x) else ComplexArray.from_complex(jnp.asarray(x))
+    re, im = xp.re, xp.im
+    rho2 = re * re + im * im
+    theta = jnp.arctan2(im, re)  # [-pi, pi]
+
+    # ring 0: the origin point, symbol 0
+    best_d = rho2
+    best_i = jnp.zeros(re.shape, jnp.int32)
+
+    for k in range(1, 8):
+        pts = _CIRC_POINTS[k]
+        r = _CIRC_RADII[k] * a
+        u = (theta - 0.5 * k) * (pts / _TWO_PI)
+        p = jnp.round(u)
+        eps = (u - p) * (_TWO_PI / pts)  # |eps| <= pi/pts <= pi/8
+        # cos(eps) to < 3e-8 abs at |eps| <= pi/8 (alternating series)
+        cos_eps = 1.0 + eps * eps * (-0.5 + eps * eps * (1.0 / 24.0))
+        d = rho2 + r * r - 2.0 * r * jnp.sqrt(rho2) * cos_eps
+        idx = _CIRC_STARTS[k] + jnp.mod(p.astype(jnp.int32), pts)
+        better = d < best_d
+        best_d = jnp.where(better, d, best_d)
+        best_i = jnp.where(better, idx, best_i)
+
+    # remainder arc: 31 points at r=0.95A, angles 2*pi*s/256, s in 225..255
+    r = 0.95 * a
+    th = jnp.where(theta < 0, theta + _TWO_PI, theta)  # [0, 2*pi)
+    c = jnp.round(th * (256.0 / _TWO_PI))
+    in_arc = (c >= 225) & (c <= 255)
+    eps = th - c * (_TWO_PI / 256.0)  # |eps| <= pi/256 when in arc
+    cos_eps = 1.0 + eps * eps * (-0.5 + eps * eps * (1.0 / 24.0))
+    d = jnp.where(in_arc,
+                  rho2 + r * r - 2.0 * r * jnp.sqrt(rho2) * cos_eps,
+                  jnp.inf)
+    better = d < best_d
+    best_d = jnp.where(better, d, best_d)
+    best_i = jnp.where(better, c.astype(jnp.int32), best_i)
+    for end in (225, 255):  # arc endpoints as constant points
+        ang = _TWO_PI * end / 256.0
+        d = rho2 + r * r - 2.0 * (re * (r * np.cos(ang))
+                                  + im * (r * np.sin(ang)))
+        better = d < best_d
+        best_d = jnp.where(better, d, best_d)
+        best_i = jnp.where(better, jnp.int32(end), best_i)
+    return best_i.astype(out_dtype)
+
+
 def qpsk256_demodulate_rect(x, amplitude=1.0, out_dtype=jnp.uint8):
     """Exact nearest-neighbor demod for the RECTANGULAR constellation.
 

@@ -46,8 +46,6 @@ class AmReceiver:
     # 'bf16x2' (fast: one fewer MXU pass + bf16 window scratch; signal
     # quantized to bf16 ~ -54 dB, below RF ADC noise floors) | 'f32' exact
     precision: str = "bf16x3"
-    # window staging: 'scratch' | 'direct' (see fm_radio.FmChannelizer)
-    dot_mode: str = "scratch"
 
     @property
     def num_channels(self):
@@ -107,7 +105,7 @@ class AmReceiver:
             # single fused kernel (windows+dot+envelope; the rotor cancels
             # under magnitude) — kernels/fm_chain_pallas.am_chain_pallas
             audio = am_chain_pallas(buf, self._tap_bank(), self.decimation,
-                        precision=self.precision, dot_mode=self.dot_mode)
+                        precision=self.precision)
             new_tail = buf[..., buf.shape[-1] - (t - 1):]
             n0_new = (n0 + jnp.int32(n % fs)) % fs
             return (n0_new, new_tail), audio

@@ -85,14 +85,6 @@ class FmChannelizer:
     # the floor is the polynomial atan2 ~1e-6 rad and rotor-table
     # evaluation order, not contraction precision); bf16x2 ~7e-4.
     precision: str = "bf16x3"
-    # fused-kernel window staging: 'scratch' (W'^T staged in VMEM) |
-    # 'direct' (per-group NT dots on sublane-offset slices, no scratch) —
-    # see kernels/fm_chain_pallas._window_dot. Same math either way.
-    dot_mode: str = "scratch"
-    # max channels per fused kernel call (0 = no split): large banks split
-    # into independent calls so the per-call VMEM footprint keeps bn big
-    # (kernels/fm_chain_pallas, round-3 64-channel geometry fix)
-    channel_split: int = 0
 
     # -- derived (host-side) -------------------------------------------------
     @property
@@ -192,8 +184,7 @@ class FmChannelizer:
                 disc_carry, deemph_zi,
                 shifts_hz=tuple(self._shifts()),
                 sample_rate=self.sample_rate,
-                precision=self.precision, dot_mode=self.dot_mode,
-                channel_split=self.channel_split)
+                precision=self.precision)
             new_tail = buf[..., buf.shape[-1] - (t - 1):]
             n0_new = (n0 + jnp.int32(n % fs)) % fs
             return (n0_new, new_tail, new_carry, new_zi), audio

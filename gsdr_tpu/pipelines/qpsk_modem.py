@@ -19,11 +19,14 @@ from gsdr_tpu.ops.qpsk import (
     qpsk_modulate,
 )
 from gsdr_tpu.ops.qpsk256 import (
+    CIRCULAR,
     RECTANGULAR,
     qpsk256_constellation,
     qpsk256_demodulate,
+    qpsk256_demodulate_circular,
     qpsk256_demodulate_rect,
     qpsk256_modulate,
+    qpsk256_modulate_circular,
     qpsk256_modulate_rect,
 )
 
@@ -65,6 +68,13 @@ class Qpsk256Modem:
 
     constellation_type: int = RECTANGULAR
     amplitude: float = 1.0
+    # force the table-exact paths (full-table modulate select-sum,
+    # exhaustive 256-point NN demod) instead of the arithmetic fast
+    # paths. The fast paths are bit-identical for RECTANGULAR; for
+    # CIRCULAR the arithmetic modulator is within f32 sin/cos accuracy
+    # (~1e-7) of the table and the ring demod differs from exhaustive
+    # only on exact Voronoi-boundary ties (ops/qpsk256.py round-3 notes).
+    exact_tables: bool = False
 
     def constellation(self):
         return qpsk256_constellation(
@@ -72,16 +82,25 @@ class Qpsk256Modem:
         )
 
     def tx(self, symbol_bytes):
-        if self.constellation_type == RECTANGULAR:
-            # arithmetic fast path (no table gather), bit-identical
-            return qpsk256_modulate_rect(symbol_bytes, self.amplitude)
+        if not self.exact_tables:
+            if self.constellation_type == RECTANGULAR:
+                # arithmetic fast path (no table gather), bit-identical
+                return qpsk256_modulate_rect(symbol_bytes, self.amplitude)
+            if self.constellation_type == CIRCULAR:
+                return qpsk256_modulate_circular(symbol_bytes,
+                                                 self.amplitude)
         return qpsk256_modulate(symbol_bytes, self.constellation())
 
     def rx(self, samples, out_dtype=jnp.int32):
-        if self.constellation_type == RECTANGULAR:
-            # exact per-axis quantization, O(1) per sample
-            return qpsk256_demodulate_rect(samples, self.amplitude,
-                                           out_dtype=out_dtype)
+        if not self.exact_tables:
+            if self.constellation_type == RECTANGULAR:
+                # exact per-axis quantization, O(1) per sample
+                return qpsk256_demodulate_rect(samples, self.amplitude,
+                                               out_dtype=out_dtype)
+            if self.constellation_type == CIRCULAR:
+                # ring-decomposed NN, 11 candidates instead of 256
+                return qpsk256_demodulate_circular(samples, self.amplitude,
+                                                   out_dtype=out_dtype)
         return qpsk256_demodulate(samples, self.constellation(),
                                   out_dtype=out_dtype)
 

@@ -120,34 +120,6 @@ class TestFmChannelizer:
         # unity DC gain: sum(b)/sum(a) == 1
         assert abs(sum(b) / sum(a) - 1.0) < 1e-9
 
-    def test_fused_direct_dot_matches_scratch(self):
-        """Round-3 'direct' window contraction (per-group NT dots on
-        sublane-offset slices, no W'^T scratch) must agree with the
-        staged-scratch mode — same math, different staging."""
-        from gsdr_tpu.kernels.fm_chain_pallas import fm_chain_pallas
-        from gsdr_tpu.ops.channelize import make_complex_tap_bank
-        from gsdr_tpu.utils.phase import phase_digit_table
-
-        taps = _lowpass(64, 0.03)
-        shifts = (100_000.0, -50_000.0)
-        bank = make_complex_tap_bank(taps, shifts, FS)
-        table = phase_digit_table(shifts, FS)
-        n = 4096 + 63
-        z = 0.3 * (RNG.standard_normal(n) + 1j * RNG.standard_normal(n))
-        buf = ComplexArray.from_complex(z.astype(np.complex64))
-        cf = ComplexArray.zeros((2, 1))
-        zi = np.zeros((2, 1), np.float32)
-        b, a = fm_deemphasis_coeffs(75e-6, FS / 4)
-        outs = {}
-        for mode in ("scratch", "direct"):
-            audio, fcar, zcar = fm_chain_pallas(
-                buf, bank, table, 0, 4, 2.0, b, a, cf, zi,
-                shifts_hz=shifts, sample_rate=FS, dot_mode=mode)
-            outs[mode] = (np.asarray(audio), fcar.to_numpy(),
-                          np.asarray(zcar))
-        for got, want in zip(outs["direct"], outs["scratch"]):
-            np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
-
     @pytest.mark.parametrize("n", [5000, 1024])
     def test_fused_pad_and_mask_matches_xla(self, n):
         """Round-3: the fused FM kernel pads M to the R*128 grid and masks,

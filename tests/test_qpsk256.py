@@ -254,3 +254,90 @@ def test_modulate_select_bit_identical_to_gather():
                                       np.asarray(tab.re)[np.asarray(s)])
         np.testing.assert_array_equal(np.asarray(im),
                                       np.asarray(tab.im)[np.asarray(s)])
+
+
+class TestCircularFastPaths:
+    """Round-3 arithmetic circular mod + ring-decomposed NN demod
+    (ops/qpsk256.qpsk256_modulate_circular / _demodulate_circular)."""
+
+    def test_modulate_matches_table(self):
+        from gsdr_tpu.ops.qpsk256 import qpsk256_modulate_circular
+
+        a = 1.3
+        table = np.asarray(qpsk256_constellation(CIRCULAR, a))
+        syms = jnp.arange(256, dtype=jnp.int32)
+        got = qpsk256_modulate_circular(syms, a)
+        got = np.asarray(got.re) + 1j * np.asarray(got.im)
+        # f32 sin/cos vs the float64-built table: ~1e-7 relative
+        np.testing.assert_allclose(got, table, atol=3e-6 * a)
+
+    def test_demod_matches_exhaustive_on_noise(self, rng):
+        from gsdr_tpu.ops.qpsk256 import qpsk256_demodulate_circular
+
+        a = 1.0
+        table = qpsk256_constellation(CIRCULAR, a, planar=True)
+        n = 1 << 15
+        x = ComplexArray(
+            jnp.asarray(rng.normal(0, 0.9, n), jnp.float32),
+            jnp.asarray(rng.normal(0, 0.9, n), jnp.float32))
+        want = np.asarray(qpsk256_demodulate(x, table, out_dtype=jnp.int32,
+                                             impl="xla"))
+        got = np.asarray(qpsk256_demodulate_circular(x, a,
+                                                     out_dtype=jnp.int32))
+        agree = np.mean(got == want)
+        # identical decisions except samples landing within float rounding
+        # of a Voronoi boundary (both answers are nearest there)
+        assert agree > 0.9995, agree
+        if agree < 1.0:
+            # disagreements must be genuine near-ties: distances to the two
+            # choices agree to float precision
+            c = np.asarray(table.re) + 1j * np.asarray(table.im)
+            xz = np.asarray(x.re) + 1j * np.asarray(x.im)
+            bad = np.nonzero(got != want)[0]
+            d_got = np.abs(xz[bad] - c[got[bad]])
+            d_want = np.abs(xz[bad] - c[want[bad]])
+            np.testing.assert_allclose(d_got, d_want, rtol=1e-4)
+
+    def test_ideal_loopback_all_symbols(self):
+        from gsdr_tpu.ops.qpsk256 import (
+            qpsk256_demodulate_circular,
+            qpsk256_modulate_circular,
+        )
+
+        a = 2.0
+        syms = jnp.arange(256, dtype=jnp.int32)
+        tx = qpsk256_modulate_circular(syms, a)
+        rx = np.asarray(qpsk256_demodulate_circular(tx, a,
+                                                    out_dtype=jnp.int32))
+        np.testing.assert_array_equal(rx, np.arange(256))
+
+    def test_modem_uses_fast_paths_and_roundtrips(self, rng):
+        from gsdr_tpu.pipelines import Qpsk256Modem
+
+        modem = Qpsk256Modem(constellation_type=CIRCULAR, amplitude=1.0)
+        syms = jnp.asarray(rng.integers(0, 256, 4096), jnp.int32)
+        out = np.asarray(modem.rx(modem.tx(syms)))
+        np.testing.assert_array_equal(out, np.asarray(syms))
+        # exact_tables=True must behave identically on the ideal channel
+        modem_x = Qpsk256Modem(constellation_type=CIRCULAR, amplitude=1.0,
+                               exact_tables=True)
+        out_x = np.asarray(modem_x.rx(modem_x.tx(syms)))
+        np.testing.assert_array_equal(out_x, np.asarray(syms))
+
+    def test_awgn_ser_matches_exhaustive(self, rng):
+        from gsdr_tpu.ops.qpsk256 import qpsk256_demodulate_circular
+
+        a = 1.0
+        table = qpsk256_constellation(CIRCULAR, a, planar=True)
+        syms = rng.integers(0, 256, 1 << 14)
+        c = np.asarray(table.re) + 1j * np.asarray(table.im)
+        tx = c[syms]
+        rx = awgn(rng, tx, 18.0)
+        x = ComplexArray(jnp.asarray(rx.real, jnp.float32),
+                         jnp.asarray(rx.imag, jnp.float32))
+        ser_ring = np.mean(np.asarray(
+            qpsk256_demodulate_circular(x, a, out_dtype=jnp.int32)) != syms)
+        ser_full = np.mean(np.asarray(
+            qpsk256_demodulate(x, table, out_dtype=jnp.int32,
+                               impl="xla")) != syms)
+        assert abs(ser_ring - ser_full) < 2e-3, (ser_ring, ser_full)
