@@ -131,7 +131,33 @@ def check_fm():
     # skip the zero-primed warmup region (atan2 branch-cut ambiguity)
     err = float(np.max(np.abs(y1[:, 256:] - y2[:, 256:]))
                 / np.max(np.abs(y1)))
-    return _report("fm_fused_d2_4ch", err, 2e-3)
+    ok = _report("fm_fused_d2_4ch", err, 2e-3)
+
+    # round-3 pad-and-mask: a NON-multiple M must run fused with correct
+    # carried state (two steps; M = 2050 per step is off the R*128 grid)
+    n2 = 8200
+    t2 = np.arange(2 * n2) / m.sample_rate
+    sig2 = np.zeros(2 * n2, np.complex128)
+    for k, f in enumerate(m.channel_frequencies):
+        msg = np.sin(2 * np.pi * (700.0 + 400.0 * k) * t2)
+        sig2 += 0.1 * np.exp(1j * (2 * np.pi * f * t2 + 0.3 * msg))
+    blocks = [
+        ComplexArray(jnp.asarray(sig2[i * n2:(i + 1) * n2].real, jnp.float32),
+                     jnp.asarray(sig2[i * n2:(i + 1) * n2].imag, jnp.float32))
+        for i in range(2)
+    ]
+    st1, st2 = m.init(), mp.init()
+    for blk in blocks:
+        st1, y1 = m.step(st1, blk)
+        st2, y2 = mp.step(st2, blk)
+    y1, y2 = np.asarray(y1), np.asarray(y2)
+    err = float(np.max(np.abs(y1 - y2)) / np.max(np.abs(y1)))
+    ok &= _report("fm_fused_pad_and_mask_m2050", err, 2e-3)
+    ok &= _report("fm_fused_pad_carry_f",
+                  _rel(st2[2].to_numpy(), st1[2].to_numpy()), 2e-3)
+    ok &= _report("fm_fused_pad_carry_z",
+                  _rel(np.asarray(st2[3]), np.asarray(st1[3])), 2e-3)
+    return ok
 
 
 def check_iir():

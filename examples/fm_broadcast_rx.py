@@ -53,7 +53,7 @@ def main():
         sample_rate=fs, tuning_frequency=0.0,
         channel_frequencies=stations, frequency_deviation=deviation,
         decimation=8, low_pass_taps=lowpass(128, 0.05),
-        impl="pallas" if jax.default_backend() not in ("cpu",) else "xla",
+        impl="auto",  # fused Pallas kernel on TPU, XLA chain elsewhere
     )
     step = jax.jit(model.step)
     state = model.init()

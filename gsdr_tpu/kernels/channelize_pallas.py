@@ -127,10 +127,13 @@ def mix_fir_decimate_bank_pallas(x, kernel, decimation, block_n=4096,
     c_eff, r_stack, groups, m_eff = geom
     rows = r_stack * 2 * d
     n_j = m_eff // r_stack
-    # VMEM guard (stateless conv: y + the (bn, K) window scratch):
-    # cap bn so ~ (1.5*R*2C + K) * bn f32 fits scoped VMEM
+    # VMEM guard. Measured footprint model (round 3 — the old 1.5*M + K
+    # estimate let the C=1/T=64/D=4 shape pick bn=4096 and OOM scoped
+    # VMEM at 19.4M > 16M on HW): per bn column, f32 words ~ y (M) +
+    # out block (M) + W'^T scratch (K) + the v concat (rows) + the
+    # double-buffered xq operands (2*rows) = 2M + K + 3*rows.
     bn = _pick_bn(n_j, min(block_n, max(_LANE, 3_500_000 // (
-        3 * r_stack * 2 * c_eff // 2 + groups * rows))))
+        2 * r_stack * 2 * c_eff + groups * rows + 3 * rows))))
     xq = _xq_prep(x, d, r_stack, n_j + _LANE, mode=xq_mode)
     g = _g_matrix_stacked(_pad_bank(kh, c_eff), d, c_eff, r_stack, groups,
                           order="planar" if xq_mode == "nt"
