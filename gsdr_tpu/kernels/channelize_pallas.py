@@ -37,7 +37,7 @@ from gsdr_tpu.kernels.fm_chain_pallas import (
     _n_coarse_of,
     _n_xq_parts,
     _pad_bank,
-    _pick_bn,
+    _pick_bn_padded,
     _split_g,
     _stack_geometry,
     _window_dot,
@@ -124,16 +124,18 @@ def mix_fir_decimate_bank_pallas(x, kernel, decimation, block_n=4096,
     geom = _stack_geometry(c_cnt, t, d, m, pad_m=True)
     if geom is None:
         raise ValueError(f"unsupported (D={d}, T={t}) for pallas kernel")
-    c_eff, r_stack, groups, m_eff = geom
+    c_eff, r_stack, groups, _ = geom
     rows = r_stack * 2 * d
-    n_j = m_eff // r_stack
     # VMEM guard. Measured footprint model (round 3 — the old 1.5*M + K
     # estimate let the C=1/T=64/D=4 shape pick bn=4096 and OOM scoped
     # VMEM at 19.4M > 16M on HW): per bn column, f32 words ~ y (M) +
     # out block (M) + W'^T scratch (K) + the v concat (rows) + the
     # double-buffered xq operands (2*rows) = 2M + K + 3*rows.
-    bn = _pick_bn(n_j, min(block_n, max(_LANE, 3_500_000 // (
-        2 * r_stack * 2 * c_eff + groups * rows + 3 * rows))))
+    cap = max(_LANE, 3_500_000 // (
+        2 * r_stack * 2 * c_eff + groups * rows + 3 * rows))
+    bn = _pick_bn_padded(-(-m // r_stack), cap, block_n)
+    m_eff = -(-m // (r_stack * bn)) * (r_stack * bn)
+    n_j = m_eff // r_stack
     xq = _xq_prep(x, d, r_stack, n_j + _LANE, mode=xq_mode)
     g = _g_matrix_stacked(_pad_bank(kh, c_eff), d, c_eff, r_stack, groups,
                           order="planar" if xq_mode == "nt"

@@ -104,6 +104,21 @@ def _pick_bn(n_cols, block_cols):
     return bn
 
 
+def _pick_bn_padded(n_j_real, cap_cols, block_n):
+    """Block size for the pad-and-mask kernels (round 3): choose bn from
+    the VMEM cap FIRST, then pad n_j up to a bn multiple — instead of
+    requiring bn | n_j, which collapsed to bn=128 whenever the block
+    length had an odd coarse-column count (e.g. N=1e6 at the flagship
+    geometry: n_j=15744=128*123 ran a 123-step grid at the minimum
+    block). Padding waste is bounded by capping bn at ~n_j/8 (<=12.5%
+    discarded columns), floor 128."""
+    limit = min(int(cap_cols), int(block_n), max(_LANE, n_j_real // 8))
+    bn = _LANE
+    while bn * 2 <= limit:
+        bn *= 2
+    return bn
+
+
 def _stack_geometry(c_cnt, t, d, m, pad_m=False):
     """(c_eff, R, groups, m_eff) for the stacked contraction, or None if
     the shape cannot run fused. c_eff pads channels to a sublane multiple
@@ -448,13 +463,14 @@ def am_chain_plan(kernel_bank, decimation, n_buf, block_n=4096,
     geom = _stack_geometry(c_cnt, t, d, m, pad_m=True)
     if geom is None:
         raise ValueError(f"unsupported (D={d}, T={t}, M={m}) for fused chain")
-    c_eff, r_stack, groups, m_eff = geom
+    c_eff, r_stack, groups, _ = geom
     rows = r_stack * 2 * d
-    n_j = m_eff // r_stack
     # VMEM guard (AM: y + envelope temporaries + the (bn, K) window
     # scratch): cap bn so ~ (2*R*2C + K) * bn f32 fits scoped VMEM
-    bn = _pick_bn(n_j, min(block_n, max(_LANE, 3_500_000 // (
-        2 * r_stack * 2 * c_eff + groups * rows))))
+    cap = max(_LANE, 3_500_000 // (2 * r_stack * 2 * c_eff + groups * rows))
+    bn = _pick_bn_padded(-(-m // r_stack), cap, block_n)
+    m_eff = -(-m // (r_stack * bn)) * (r_stack * bn)
+    n_j = m_eff // r_stack
     g = _g_matrix_stacked(_pad_bank(kh, c_eff), d, c_eff, r_stack, groups,
                           order="planar" if xq_mode == "nt"
                           else "interleaved")
@@ -813,19 +829,21 @@ def fm_chain_plan(kernel_bank, decimation, gain, deemph_b, deemph_a,
     if geom is None:
         raise ValueError(
             f"unsupported (D={d}, T={t}, M={m}) for fused chain")
-    c_eff, r_stack, groups, m_eff = geom
+    c_eff, r_stack, groups, _ = geom
     rows = r_stack * 2 * d
-    n_j = m_eff // r_stack
     # VMEM guard (FM: y, pj, rotor/disc/de-emph planes, audio + the
     # (bn, K) window scratch; Mosaic liveness reuse measured ~4.5
     # full-height arrays): cap bn so the block fits scoped VMEM.
     # At the full-lane R=16 flagship geometry (R*2C=512, K=256) the cap
-    # evaluates to 1367 and _pick_bn lands on bn=1024 — the geometry that
+    # evaluates to 1367 and bn lands on 1024 — the geometry that
     # produced the round-2 ~6800-7250 Msps headline. (The block_n=4096
     # default only engages at smaller R*2C; pre-R-growth it measured
     # ~5 us/step faster than 2048 and 8192 OOM'd.)
-    bn = _pick_bn(n_j, min(block_n, max(_LANE, 3_500_000 // (
-        9 * r_stack * 2 * c_eff // 2 + groups * rows))))
+    cap = max(_LANE, 3_500_000 // (
+        9 * r_stack * 2 * c_eff // 2 + groups * rows))
+    bn = _pick_bn_padded(-(-m // r_stack), cap, block_n)
+    m_eff = -(-m // (r_stack * bn)) * (r_stack * bn)
+    n_j = m_eff // r_stack
     g = _g_matrix_stacked(_pad_bank(kh, c_eff), d, c_eff, r_stack, groups,
                           order="planar" if xq_mode == "nt"
                           else "interleaved")

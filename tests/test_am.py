@@ -75,3 +75,16 @@ def test_edge_sizes(n):
     expected = am_golden(x, taps, FS, 0.0, 50_000.0, 2)
     assert out.shape == expected.shape
     np.testing.assert_allclose(out, expected, atol=3e-4)
+
+
+def test_fused_impl_matches_xla_chain():
+    """Round-3: impl='pallas' routes the op through the fused
+    windows+dot+envelope kernel (interpret on CPU)."""
+    taps = lowpass_taps(64, 0.05)
+    x = _am_signal(5000, fc=120_000.0, n0=777)
+    out_x = np.asarray(am_demod(x, taps, FS, 0.0, 120_000.0, decimation=4,
+                                first_sample_index=777, impl="xla"))
+    out_p = np.asarray(am_demod(x, taps, FS, 0.0, 120_000.0, decimation=4,
+                                first_sample_index=777, impl="pallas"))
+    assert out_p.shape == out_x.shape
+    np.testing.assert_allclose(out_p, out_x, atol=2e-4)

@@ -120,6 +120,28 @@ class TestFmChannelizer:
         # unity DC gain: sum(b)/sum(a) == 1
         assert abs(sum(b) / sum(a) - 1.0) < 1e-9
 
+    def test_fused_plan_keeps_big_blocks_at_odd_n(self):
+        """Round-3 bn fix: a non-power-of-two block length must not
+        collapse the fused kernel to the minimum 128-column block (N=1e6
+        at the flagship geometry used to run a 123-step grid at bn=128).
+        Host-side geometry only — no kernel execution."""
+        from gsdr_tpu.kernels.fm_chain_pallas import fm_chain_plan
+
+        def lp(t, c):
+            k = np.arange(t) - (t - 1) / 2.0
+            h = np.sinc(2 * c * k) * np.hamming(t)
+            return (h / h.sum()).astype(np.float32)
+
+        from gsdr_tpu.ops.channelize import make_complex_tap_bank
+        shifts = tuple(float(-480_000 + 60_000 * i) for i in range(16))
+        bank = make_complex_tap_bank(lp(64, 0.03), shifts, 1e6)
+        plan = fm_chain_plan(bank, 4, 2.0, (0.1, 0.1), (1.0, -0.8),
+                             1_000_000 + 63, shifts, 1e6)
+        assert plan.bn == 1024, plan.bn
+        assert plan.n_j % plan.bn == 0
+        # padding waste bounded: <= one block of coarse columns
+        assert plan.n_j - -(-plan.m // plan.r_stack) < plan.bn
+
     @pytest.mark.parametrize("n", [5000, 1024])
     def test_fused_pad_and_mask_matches_xla(self, n):
         """Round-3: the fused FM kernel pads M to the R*128 grid and masks,
