@@ -61,7 +61,6 @@ from gsdr_tpu.carray import ComplexArray
 _LANE = 128
 _SUB = 8
 _TWO_PI = 6.283185307179586
-_MAX_LOG_BN = 16
 
 
 # ---------------------------------------------------------------------------
@@ -520,11 +519,11 @@ def am_chain_pallas(buf, kernel_bank, decimation, block_n=4096,
 
 def _fm_chain_kernel(*refs,
                      groups, rows, c_eff, r_stack, gain, b0, cc, a_pole,
-                     log_bn, f32_dot, xq_mode, last_i, last_col, last_r,
+                     spow, f32_dot, xq_mode, last_i, last_col, last_r,
                      ablate="full"):
     nx = _n_xq_parts(xq_mode)
     xq_refs, halo_refs = refs[:nx], refs[nx:2 * nx]
-    (gh_ref, gl_ref, base_ref, bt_ref, pj_ref, spow_ref, jpow_ref,
+    (gh_ref, gl_ref, base_ref, bt_ref, pj_ref, jpow_ref,
      fcar0_ref, zcar0_ref, audio_ref, fcar_ref, zcar_ref,
      w_ref, carry_ref) = refs[2 * nx:]
     bn = audio_ref.shape[1]
@@ -616,13 +615,21 @@ def _fm_chain_kernel(*refs,
         acc = cc * d_r if acc is None else a_pole * acc + cc * d_r
         partials.append(acc)
     u = partials[r_stack - 1]
-    # Hillis-Steele inclusive scan over J with multiplier a^R
+    # Hillis-Steele inclusive scan over J with multiplier a^R. ``spow``
+    # is STATIC (round 3): (a^R)^(2^s) underflows to exactly 0.0 within
+    # a few steps for real de-emphasis poles (flagship: a^16 ~ 1.5e-4,
+    # squared twice -> 0), and multiplying by an exact f32 zero adds
+    # nothing — skipping those steps is bit-identical and deletes most
+    # of the scan's lane-shift passes (all of them for the op-level
+    # identity de-emphasis, a = 0).
     zc = u
-    for s_idx in range(log_bn):
+    for s_idx, w in enumerate(spow):
+        if w == 0.0:
+            break  # monotone |a^R| < 1 decay: every later step is 0 too
         s = 1 << s_idx
         shifted = jnp.concatenate(
             [jnp.zeros((c_eff, s), jnp.float32), zc[:, :bn - s]], axis=1)
-        zc = zc + spow_ref[0, s_idx] * shifted
+        zc = zc + w * shifted
     z_init = carry_ref[:, 2:3]                        # (C, 1)
     zcol = zc + z_init * jpow_ref[0:1, :]             # jpow[J] = a^{R(J+1)}
     zcol_shift = jnp.concatenate([z_init, zcol[:, :bn - 1]], axis=1)
@@ -675,9 +682,10 @@ def _run_chain(base, xq, gh, gl, bt, pj, fcar0, zcar0, *,
 
     a = -float(a1)
     a_r_mult = float(a ** r_stack)
-    spow = np.zeros((1, _MAX_LOG_BN), np.float32)
-    for s in range(log_bn):
-        spow[0, s] = a_r_mult ** (1 << s)
+    spow = tuple(
+        float(np.float32(a_r_mult ** (1 << s)))  # f64 pow, f32 cast — the
+        for s in range(log_bn))                  # same values the operand
+                                                 # array carried before
     jpow = np.power(a_r_mult, np.arange(1, bn + 1),
                     dtype=np.float64).astype(np.float32)[None, :]
 
@@ -686,7 +694,7 @@ def _run_chain(base, xq, gh, gl, bt, pj, fcar0, zcar0, *,
     kernel = functools.partial(
         _fm_chain_kernel, groups=groups, rows=rows, c_eff=c_eff,
         r_stack=r_stack, gain=gain, b0=b0, cc=cc, a_pole=a,
-        log_bn=log_bn, f32_dot=f32_dot, xq_mode=xq_mode, ablate=ablate,
+        spow=spow, f32_dot=f32_dot, xq_mode=xq_mode, ablate=ablate,
         last_i=(j_last // r_stack) // bn,
         last_col=(j_last // r_stack) % bn,
         last_r=j_last % r_stack)
@@ -707,7 +715,6 @@ def _run_chain(base, xq, gh, gl, bt, pj, fcar0, zcar0, *,
                          memory_space=vm),
             pl.BlockSpec((r_stack * 2 * c_eff, bn), lambda i: (0, 0),
                          memory_space=vm),
-            pl.BlockSpec((1, _MAX_LOG_BN), lambda i: (0, 0), memory_space=vm),
             pl.BlockSpec((1, bn), lambda i: (0, 0), memory_space=vm),
             pl.BlockSpec((c_eff, 2), lambda i: (0, 0), memory_space=vm),
             pl.BlockSpec((c_eff, 1), lambda i: (0, 0), memory_space=vm),
@@ -728,7 +735,7 @@ def _run_chain(base, xq, gh, gl, bt, pj, fcar0, zcar0, *,
             pltpu.VMEM((c_eff, 8), jnp.float32),
         ],
         interpret=interpret,
-    )(*xq_parts, *xq_parts, gh, gl, base, bt, pj, jnp.asarray(spow),
+    )(*xq_parts, *xq_parts, gh, gl, base, bt, pj,
       jnp.asarray(jpow), fcar0, zcar0)
 
 
