@@ -297,7 +297,7 @@ _NT_DIMS = (((1,), (1,)), ((), ()))  # contract lhs dim1 x rhs dim1 (A @ B^T)
 
 
 def _window_dot(v, gh_ref, gl_ref, w_ref, bn, groups, rows, f32_dot,
-                nt=False):
+                nt=False, col_off=0):
     """Contract the stacked tap bank with ``groups`` full-height shifted
     copies of the window source ``v`` (from _build_v), as bf16x3 / bf16x2 /
     exact f32. Shared by the FM and AM fused kernels.
@@ -307,6 +307,11 @@ def _window_dot(v, gh_ref, gl_ref, w_ref, bn, groups, rows, f32_dot,
     built by SUBLANE-shifted copies and contracted as an NT dot_general —
     the MXU consumes the transposed RHS natively, so no transpose exists
     anywhere on the path (the point of the 'nt' input mode).
+
+    ``bn`` is the column count of THIS dot and ``col_off`` the coarse-column
+    offset into ``v`` — the intra-step overlap split (n_sub > 1) issues one
+    _window_dot per sub-block, each with its own scratch ``w_ref``, before
+    any VPU stage runs.
 
     bf16x2 passes a bf16 ``w_ref``: the window scratch is built directly
     in bf16 (the signal operand is quantized anyway in this grade), which
@@ -319,10 +324,12 @@ def _window_dot(v, gh_ref, gl_ref, w_ref, bn, groups, rows, f32_dot,
     # while per-shift scratch stores lower cleanly.
     if nt:
         for g in range(groups):
-            w_ref[:, g * rows:(g + 1) * rows] = v[g:g + bn, :]
+            w_ref[:, g * rows:(g + 1) * rows] = \
+                v[col_off + g:col_off + g + bn, :]
     else:
         for g in range(groups):
-            w_ref[g * rows:(g + 1) * rows, :] = v[:, g:g + bn]
+            w_ref[g * rows:(g + 1) * rows, :] = \
+                v[:, col_off + g:col_off + g + bn]
     w = w_ref[:, :]
 
     def dot(a, b):
@@ -520,13 +527,16 @@ def am_chain_pallas(buf, kernel_bank, decimation, block_n=4096,
 def _fm_chain_kernel(*refs,
                      groups, rows, c_eff, r_stack, gain, b0, cc, a_pole,
                      spow, f32_dot, xq_mode, last_i, last_col, last_r,
-                     ablate="full"):
+                     n_sub=1, ablate="full"):
     nx = _n_xq_parts(xq_mode)
     xq_refs, halo_refs = refs[:nx], refs[nx:2 * nx]
     (gh_ref, gl_ref, base_ref, bt_ref, pj_ref, jpow_ref,
-     fcar0_ref, zcar0_ref, audio_ref, fcar_ref, zcar_ref,
-     w_ref, carry_ref) = refs[2 * nx:]
+     fcar0_ref, zcar0_ref, audio_ref, fcar_ref, zcar_ref) = \
+        refs[2 * nx:2 * nx + 11]
+    w_refs = refs[2 * nx + 11:2 * nx + 11 + n_sub]
+    carry_ref = refs[2 * nx + 11 + n_sub]
     bn = audio_ref.shape[1]
+    bs = bn // n_sub
     i = pl.program_id(0)
     n_i = pl.num_programs(0)
 
@@ -551,13 +561,25 @@ def _fm_chain_kernel(*refs,
         carry_ref[:, 2:3] = zcar0_ref[:, :]
 
     # ---- 1) stacked windows + tap-bank contraction -----------------------
+    # MXU phase: with n_sub > 1 the block's columns split into n_sub
+    # sub-blocks and ALL window dots are issued before any VPU stage runs
+    # (round 3 overlap mechanism): dot s+1 has no data dependence on the
+    # rotor/disc/de-emphasis of sub-block s, so the scheduler can keep the
+    # MXU busy under the VPU stages instead of serializing stage-by-stage.
+    # Each sub-block gets its OWN W scratch — disjoint refs, no false
+    # store->load ordering between sub-blocks.
     v = _build_v(xq_refs, halo_refs, xq_mode)
-    y = _window_dot(v, gh_ref, gl_ref, w_ref, bn, groups, rows, f32_dot,
-                    nt=xq_mode == "nt")
+    nt = xq_mode == "nt"
+    ys = [
+        _window_dot(v, gh_ref, gl_ref, w_refs[s], bs, groups, rows,
+                    f32_dot, nt=nt, col_off=s * bs)
+        for s in range(n_sub)
+    ]
     if ablate == "dot":
-        return _early_out([y])
+        return _early_out(
+            [jnp.concatenate(ys, axis=1) if n_sub > 1 else ys[0]])
 
-    # ---- 2) LO rotor as a phasor product (no transcendentals) ------------
+    # ---- VPU phase: per-sub-block rotor/disc/de-emphasis ------------------
     # lo(c, (i*bn + J)*R + r) = base(c) * blocktab(c, i) * pj_r(c, J):
     # base carries the traced stream offset (computed outside the kernel),
     # blocktab/pj are host-precomputed float64-accurate unit phasors.
@@ -565,114 +587,150 @@ def _fm_chain_kernel(*refs,
     bt_im = bt_ref[:, 1:2]
     b_re = base_ref[:, 0:1] * bt_re - base_ref[:, 1:2] * bt_im   # (C, 1)
     b_im = base_ref[:, 0:1] * bt_im + base_ref[:, 1:2] * bt_re
-    f_res = []
-    f_ims = []
-    for r in range(r_stack):
-        row0 = r * 2 * c_eff
-        y_re = y[row0:row0 + c_eff, :]
-        y_im = y[row0 + c_eff:row0 + 2 * c_eff, :]
-        pj_re = pj_ref[row0:row0 + c_eff, :]
-        pj_im = pj_ref[row0 + c_eff:row0 + 2 * c_eff, :]
-        lo_re = b_re * pj_re - b_im * pj_im
-        lo_im = b_re * pj_im + b_im * pj_re
-        f_res.append(y_re * lo_re - y_im * lo_im)
-        f_ims.append(y_re * lo_im + y_im * lo_re)
-    if ablate == "rotor":
-        return _early_out(f_res + f_ims)
-
-    # ---- 3) discriminator with carried previous sample -------------------
-    # output j = J*R + r: previous sample is phase r-1 (same column), or
-    # phase R-1 shifted one column right for r = 0 (carried across blocks).
-    prev_res = [
-        jnp.concatenate([carry_ref[:, 0:1], f_res[r_stack - 1][:, :bn - 1]],
-                        axis=1)
-    ] + f_res[:r_stack - 1]
-    prev_ims = [
-        jnp.concatenate([carry_ref[:, 1:2], f_ims[r_stack - 1][:, :bn - 1]],
-                        axis=1)
-    ] + f_ims[:r_stack - 1]
-    m_re = jnp.concatenate(
-        [f_res[r] * prev_res[r] + f_ims[r] * prev_ims[r]
-         for r in range(r_stack)], axis=0)
-    m_im = jnp.concatenate(
-        [f_ims[r] * prev_res[r] - f_res[r] * prev_ims[r]
-         for r in range(r_stack)], axis=0)
-    # jnp.arctan2 has no Mosaic lowering; polynomial atan2 (~1e-6 rad)
+    # streaming carries thread across sub-blocks as VALUES (f: previous
+    # filtered sample for the discriminator; z: de-emphasis state).
+    f_re_c = carry_ref[:, 0:1]
+    f_im_c = carry_ref[:, 1:2]
+    z_c = carry_ref[:, 2:3]
+    cut = []   # per-sub stage outputs when an ablate cut is requested
     from gsdr_tpu.kernels.kmath import atan2_poly
-    d_all = gain * atan2_poly(m_im, m_re)   # (R*C_eff, bn), r-major rows
-    if ablate == "disc":
-        return _early_out([d_all])
+    for s in range(n_sub):
+        y = ys[s]
+        sl = slice(s * bs, (s + 1) * bs)
 
-    # ---- 4) de-emphasis (transposed DF-II), (J, r)-decomposed ------------
-    # z[j] = cc*d[j] + a*z[j-1]; y[j] = b0*d[j] + z[j-1].  Per coarse
-    # column J: partial_r = sum_{k<=r} a^(r-k) cc d_k (unrolled fmas);
-    # column state zcol[J] = z[J*R + R-1] follows zcol[J] = a^R zcol[J-1]
-    # + partial_{R-1}[J] — one lane-scan with multiplier a^R.
-    partials = []
-    acc = None
-    for r in range(r_stack):
-        d_r = d_all[r * c_eff:(r + 1) * c_eff, :]
-        acc = cc * d_r if acc is None else a_pole * acc + cc * d_r
-        partials.append(acc)
-    u = partials[r_stack - 1]
-    # Hillis-Steele inclusive scan over J with multiplier a^R. ``spow``
-    # is STATIC (round 3): (a^R)^(2^s) underflows to exactly 0.0 within
-    # a few steps for real de-emphasis poles (flagship: a^16 ~ 1.5e-4,
-    # squared twice -> 0), and multiplying by an exact f32 zero adds
-    # nothing — skipping those steps is bit-identical and deletes most
-    # of the scan's lane-shift passes (all of them for the op-level
-    # identity de-emphasis, a = 0).
-    zc = u
-    for s_idx, w in enumerate(spow):
-        if w == 0.0:
-            break  # monotone |a^R| < 1 decay: every later step is 0 too
-        s = 1 << s_idx
-        shifted = jnp.concatenate(
-            [jnp.zeros((c_eff, s), jnp.float32), zc[:, :bn - s]], axis=1)
-        zc = zc + w * shifted
-    z_init = carry_ref[:, 2:3]                        # (C, 1)
-    zcol = zc + z_init * jpow_ref[0:1, :]             # jpow[J] = a^{R(J+1)}
-    zcol_shift = jnp.concatenate([z_init, zcol[:, :bn - 1]], axis=1)
-    a_r = 1.0
-    for r in range(r_stack):
-        d_r = d_all[r * c_eff:(r + 1) * c_eff, :]
-        if r == 0:
-            audio_r = b0 * d_r + zcol_shift
-        else:
-            audio_r = b0 * d_r + a_r * zcol_shift + partials[r - 1]
-        audio_ref[r * c_eff:(r + 1) * c_eff, :] = audio_r
-        a_r *= a_pole
+        # ---- 2) LO rotor as a phasor product (no transcendentals) --------
+        f_res = []
+        f_ims = []
+        for r in range(r_stack):
+            row0 = r * 2 * c_eff
+            y_re = y[row0:row0 + c_eff, :]
+            y_im = y[row0 + c_eff:row0 + 2 * c_eff, :]
+            pj_re = pj_ref[row0:row0 + c_eff, sl]
+            pj_im = pj_ref[row0 + c_eff:row0 + 2 * c_eff, sl]
+            lo_re = b_re * pj_re - b_im * pj_im
+            lo_im = b_re * pj_im + b_im * pj_re
+            f_res.append(y_re * lo_re - y_im * lo_im)
+            f_ims.append(y_re * lo_im + y_im * lo_re)
+        if ablate == "rotor":
+            cut.append((f_res, f_ims))
+            f_re_c = f_res[r_stack - 1][:, bs - 1:bs]
+            f_im_c = f_ims[r_stack - 1][:, bs - 1:bs]
+            continue
+
+        # ---- 3) discriminator with carried previous sample ---------------
+        # output j = J*R + r: previous sample is phase r-1 (same column),
+        # or phase R-1 shifted one column right for r = 0 (carried across
+        # sub-blocks and grid steps).
+        prev_res = [
+            jnp.concatenate([f_re_c, f_res[r_stack - 1][:, :bs - 1]],
+                            axis=1)
+        ] + f_res[:r_stack - 1]
+        prev_ims = [
+            jnp.concatenate([f_im_c, f_ims[r_stack - 1][:, :bs - 1]],
+                            axis=1)
+        ] + f_ims[:r_stack - 1]
+        m_re = jnp.concatenate(
+            [f_res[r] * prev_res[r] + f_ims[r] * prev_ims[r]
+             for r in range(r_stack)], axis=0)
+        m_im = jnp.concatenate(
+            [f_ims[r] * prev_res[r] - f_res[r] * prev_ims[r]
+             for r in range(r_stack)], axis=0)
+        # jnp.arctan2 has no Mosaic lowering; polynomial atan2. The
+        # bf16x2 grade's dot quantization (~7e-4 rel) dwarfs the 7th-order
+        # fit's ~1.5e-5 rad, so the fast grade drops two fma passes here.
+        d_all = gain * atan2_poly(
+            m_im, m_re, order=7 if f32_dot == "bf16x2" else 11)
+        # d_all: (R*C_eff, bs), r-major rows
+        f_re_c = f_res[r_stack - 1][:, bs - 1:bs]
+        f_im_c = f_ims[r_stack - 1][:, bs - 1:bs]
+        if ablate == "disc":
+            cut.append(d_all)
+            continue
+
+        # ---- 4) de-emphasis (transposed DF-II), (J, r)-decomposed --------
+        # z[j] = cc*d[j] + a*z[j-1]; y[j] = b0*d[j] + z[j-1].  Per coarse
+        # column J: partial_r = sum_{k<=r} a^(r-k) cc d_k (unrolled fmas);
+        # column state zcol[J] = z[J*R + R-1] follows zcol[J] = a^R
+        # zcol[J-1] + partial_{R-1}[J] — one lane-scan with multiplier a^R.
+        partials = []
+        acc = None
+        for r in range(r_stack):
+            d_r = d_all[r * c_eff:(r + 1) * c_eff, :]
+            acc = cc * d_r if acc is None else a_pole * acc + cc * d_r
+            partials.append(acc)
+        # Hillis-Steele inclusive scan over J with multiplier a^R. ``spow``
+        # is STATIC (round 3): (a^R)^(2^s) underflows to exactly 0.0 within
+        # a few steps for real de-emphasis poles (flagship: a^16 ~ 1.5e-4,
+        # squared twice -> 0), and multiplying by an exact f32 zero adds
+        # nothing — skipping those steps is bit-identical and deletes most
+        # of the scan's lane-shift passes (all of them for the op-level
+        # identity de-emphasis, a = 0).
+        zc = partials[r_stack - 1]
+        for s_idx, w in enumerate(spow):
+            if w == 0.0 or (1 << s_idx) >= bs:
+                break  # monotone |a^R| < 1 decay: later steps are 0 too
+            sh = 1 << s_idx
+            shifted = jnp.concatenate(
+                [jnp.zeros((c_eff, sh), jnp.float32), zc[:, :bs - sh]],
+                axis=1)
+            zc = zc + w * shifted
+        zcol = zc + z_c * jpow_ref[0:1, :bs]          # jpow[J] = a^{R(J+1)}
+        zcol_shift = jnp.concatenate([z_c, zcol[:, :bs - 1]], axis=1)
+        a_r = 1.0
+        for r in range(r_stack):
+            d_r = d_all[r * c_eff:(r + 1) * c_eff, :]
+            if r == 0:
+                audio_r = b0 * d_r + zcol_shift
+            else:
+                audio_r = b0 * d_r + a_r * zcol_shift + partials[r - 1]
+            audio_ref[r * c_eff:(r + 1) * c_eff, sl] = audio_r
+            a_r *= a_pole
+        z_c = zcol[:, bs - 1:bs]
+
+        # ---- export final streaming state at the last REAL output --------
+        # M may be padded up to the R*128 grid (pad-and-mask, round 3):
+        # output m-1 sits at grid step last_i, coarse column last_col,
+        # phase last_r — only equal to (n_i-1, bn-1, R-1) when M was
+        # aligned. The de-emphasis state at j = J*R + r is z[j] =
+        # partials[r][J] + a^(r+1) * zcol_shift[J] (zcol specializes this
+        # at r = R-1).
+        if s == last_col // bs:
+            lc = last_col % bs
+
+            @pl.when(i == last_i)
+            def _(f_res=f_res, f_ims=f_ims, partials=partials,
+                  zcol_shift=zcol_shift, lc=lc):
+                fcar_ref[:, 0:1] = f_res[last_r][:, lc:lc + 1]
+                fcar_ref[:, 1:2] = f_ims[last_r][:, lc:lc + 1]
+                zcar_ref[:, 0:1] = (
+                    partials[last_r][:, lc:lc + 1]
+                    + (a_pole ** (last_r + 1))
+                    * zcol_shift[:, lc:lc + 1])
+
+    if ablate == "rotor":
+        return _early_out(
+            [jnp.concatenate([c[0][r] for c in cut], axis=1)
+             for r in range(r_stack)]
+            + [jnp.concatenate([c[1][r] for c in cut], axis=1)
+               for r in range(r_stack)])
+    if ablate == "disc":
+        return _early_out([jnp.concatenate(cut, axis=1)])
 
     # ---- carries for the next sequential grid step -----------------------
-    carry_ref[:, 0:1] = f_res[r_stack - 1][:, bn - 1:bn]
-    carry_ref[:, 1:2] = f_ims[r_stack - 1][:, bn - 1:bn]
-    carry_ref[:, 2:3] = zcol[:, bn - 1:bn]
-
-    # ---- export final streaming state at the last REAL output ------------
-    # M may be padded up to the R*128 grid (pad-and-mask, round 3): output
-    # m-1 sits at grid step last_i, coarse column last_col, phase last_r —
-    # only equal to (n_i-1, bn-1, R-1) when M was already aligned. The
-    # de-emphasis state at j = J*R + r is z[j] = partials[r][J]
-    # + a^(r+1) * zcol_shift[J] (zcol specializes this at r = R-1).
-    @pl.when(i == last_i)
-    def _():
-        fcar_ref[:, 0:1] = f_res[last_r][:, last_col:last_col + 1]
-        fcar_ref[:, 1:2] = f_ims[last_r][:, last_col:last_col + 1]
-        zcar_ref[:, 0:1] = (
-            partials[last_r][:, last_col:last_col + 1]
-            + (a_pole ** (last_r + 1))
-            * zcol_shift[:, last_col:last_col + 1])
+    carry_ref[:, 0:1] = f_re_c
+    carry_ref[:, 1:2] = f_im_c
+    carry_ref[:, 2:3] = z_c
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("block_n", "groups", "rows", "c_eff", "r_stack",
                      "gain", "b0", "cc", "a1", "f32_dot", "interpret",
-                     "ablate", "xq_mode", "m_real"))
+                     "ablate", "xq_mode", "m_real", "n_sub"))
 def _run_chain(base, xq, gh, gl, bt, pj, fcar0, zcar0, *,
                block_n, groups, rows, c_eff, r_stack, gain, b0, cc, a1,
                f32_dot, interpret, ablate="full", xq_mode="flat",
-               m_real=None):
+               m_real=None, n_sub=1):
     xq_parts = xq if isinstance(xq, tuple) else (xq,)
     n_coarse_total = _n_coarse_of(xq_parts[0], xq_mode)
     k_rows = gh.shape[1]
@@ -695,14 +753,19 @@ def _run_chain(base, xq, gh, gl, bt, pj, fcar0, zcar0, *,
         _fm_chain_kernel, groups=groups, rows=rows, c_eff=c_eff,
         r_stack=r_stack, gain=gain, b0=b0, cc=cc, a_pole=a,
         spow=spow, f32_dot=f32_dot, xq_mode=xq_mode, ablate=ablate,
+        n_sub=n_sub,
         last_i=(j_last // r_stack) // bn,
         last_col=(j_last // r_stack) % bn,
         last_r=j_last % r_stack)
 
+    if bn % n_sub != 0 or (bn // n_sub) % _LANE != 0:
+        raise ValueError(f"n_sub={n_sub} must split bn={bn} into "
+                         f"lane-aligned sub-blocks")
     n_blk = n_out // bn
     vm = pltpu.VMEM
     xq_specs, halo_specs = _xq_specs(xq_mode, rows, bn)
-    w_shape = (bn, k_rows) if xq_mode == "nt" else (k_rows, bn)
+    bs = bn // n_sub
+    w_shape = (bs, k_rows) if xq_mode == "nt" else (k_rows, bs)
     w_dtype = jnp.bfloat16 if f32_dot == "bf16x2" else jnp.float32
     return pl.pallas_call(
         kernel,
@@ -730,10 +793,10 @@ def _run_chain(base, xq, gh, gl, bt, pj, fcar0, zcar0, *,
             jax.ShapeDtypeStruct((c_eff, 2), jnp.float32),
             jax.ShapeDtypeStruct((c_eff, 1), jnp.float32),
         ),
-        scratch_shapes=[
-            pltpu.VMEM(w_shape, w_dtype),
-            pltpu.VMEM((c_eff, 8), jnp.float32),
-        ],
+        scratch_shapes=(
+            [pltpu.VMEM(w_shape, w_dtype) for _ in range(n_sub)]
+            + [pltpu.VMEM((c_eff, 8), jnp.float32)]
+        ),
         interpret=interpret,
     )(*xq_parts, *xq_parts, gh, gl, base, bt, pj,
       jnp.asarray(jpow), fcar0, zcar0)
@@ -816,11 +879,16 @@ class FmChainPlan:
     gl: object
     pj: object
     bt: object
+    # intra-step overlap split: the block's bn columns run as n_sub
+    # sub-blocks whose window dots are ALL issued before any VPU stage,
+    # letting the scheduler overlap MXU and VPU work (round 3).
+    n_sub: int = 1
 
 
 def fm_chain_plan(kernel_bank, decimation, gain, deemph_b, deemph_a,
                   n_buf, shifts_hz, sample_rate,
-                  block_n=4096, precision="bf16x3", xq_mode="nt"):
+                  block_n=4096, precision="bf16x3", xq_mode="nt",
+                  n_sub="auto"):
     """Build the host-side plan for a tail-prepended buffer of n_buf samples.
 
     Raises ValueError when the shape cannot run fused (T % D != 0, or the
@@ -865,12 +933,21 @@ def fm_chain_plan(kernel_bank, decimation, gain, deemph_b, deemph_a,
         + (0.0,) * (c_eff - c_cnt)
     pj_np, bt_np = _phasor_tables(shifts_eff, sample_rate, d, r_stack, bn,
                                   n_j // bn)
+    # 'auto': split the block into 128-column sub-blocks, up to 8 — the
+    # HW A/B at the flagship (2026-08-18) measured n_sub 1/2/4/8 =
+    # 149/145/139/135 us (bf16x3) and 127/118/123/121 (bf16x2), repeatably
+    # ordered across rounds; the MXU-first issue order lets the scheduler
+    # overlap the dots with the previous sub-block's VPU stages.
+    n_sub = min(8, max(1, bn // _LANE)) if n_sub == "auto" else int(n_sub)
+    while n_sub > 1 and (bn % n_sub != 0 or (bn // n_sub) % _LANE != 0):
+        n_sub //= 2
     return FmChainPlan(
         d=d, t=t, c_cnt=c_cnt, c_eff=c_eff, r_stack=r_stack, groups=groups,
         rows=rows, bn=bn, n_j=n_j, m=m, n_buf=int(n_buf),
         f32_dot=f32_dot, xq_mode=xq_mode,
         gain=float(gain), b0=b0, cc=cc, a1=a1,
-        gh=np.asarray(gh), gl=np.asarray(gl), pj=pj_np, bt=bt_np)
+        gh=np.asarray(gh), gl=np.asarray(gl), pj=pj_np, bt=bt_np,
+        n_sub=n_sub)
 
 
 def fm_chain_apply(plan, buf, lo_table, n0_rot, carry_f, carry_z,
@@ -924,7 +1001,7 @@ def fm_chain_apply(plan, buf, lo_table, n0_rot, carry_f, carry_z,
         block_n=plan.bn, groups=plan.groups, rows=plan.rows, c_eff=c_eff,
         r_stack=r_stack, gain=plan.gain, b0=plan.b0, cc=plan.cc, a1=plan.a1,
         f32_dot=plan.f32_dot, interpret=interpret, xq_mode=plan.xq_mode,
-        m_real=plan.m, ablate=ablate)
+        m_real=plan.m, ablate=ablate, n_sub=plan.n_sub)
     new_f = ComplexArray(fcar[:c_cnt, 0:1], fcar[:c_cnt, 1:2])
     return (_unstack(audio, c_eff, c_cnt, r_stack, plan.m), new_f,
             zcar[:c_cnt])
@@ -934,7 +1011,7 @@ def fm_chain_pallas(buf, kernel_bank, lo_table, n0_rot, decimation, gain,
                     deemph_b, deemph_a, carry_f, carry_z, shifts_hz=None,
                     sample_rate=None,
                     block_n=4096, precision="bf16x3", interpret=False,
-                    xq_mode="nt"):
+                    xq_mode="nt", n_sub="auto"):
     """Run the fused chain over a tail-prepended planar RF buffer.
 
     Args:
@@ -958,6 +1035,6 @@ def fm_chain_pallas(buf, kernel_bank, lo_table, n0_rot, decimation, gain,
     plan = fm_chain_plan(kernel_bank, decimation, gain, deemph_b, deemph_a,
                          buf.shape[-1], shifts_hz, sample_rate,
                          block_n=block_n, precision=precision,
-                         xq_mode=xq_mode)
+                         xq_mode=xq_mode, n_sub=n_sub)
     return fm_chain_apply(plan, buf, lo_table, n0_rot, carry_f, carry_z,
                           interpret=interpret)

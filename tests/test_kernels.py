@@ -192,6 +192,52 @@ class TestFusedFmChain:
                 np.abs(y_x[:, skip:] - y_p[:, skip:])) / scale < 2e-3, \
                 (decimation, blk)
 
+    def test_n_sub_split_parity(self):
+        """The intra-step overlap split (n_sub sub-blocks, all window dots
+        issued before any VPU stage) must be numerically inert: exported
+        streaming carries EXACT vs n_sub=1 (same association), audio
+        within 1 ulp (the de-emphasis lane scan re-associates at sub
+        boundaries). Covers a pad-and-mask (non-grid-aligned) length and
+        a second streaming step from the carried state."""
+        from gsdr_tpu.kernels import fm_chain_pallas as fcp
+        from gsdr_tpu.ops.channelize import make_complex_tap_bank
+        from gsdr_tpu.ops.fm import fm_demod_gain
+        from gsdr_tpu.pipelines.fm_radio import fm_deemphasis_coeffs
+        from gsdr_tpu.utils.phase import phase_digit_table
+
+        t, d, c = 32, 4, 4
+        n_buf = 6000 * d + t - 1   # m=6000: pads and masks to the grid
+        rng = np.random.default_rng(0)
+        taps = (np.hamming(t) / np.hamming(t).sum()).astype(np.float64)
+        shifts = [1000.0 * (k + 1) for k in range(c)]
+        bank = make_complex_tap_bank(taps, shifts, FS)
+        lo = phase_digit_table(shifts, FS)
+        gain = fm_demod_gain(FS, 75000.0)
+        b, a = fm_deemphasis_coeffs(75e-6, FS / d)
+        buf = ComplexArray(
+            jnp.asarray(rng.standard_normal(n_buf), jnp.float32),
+            jnp.asarray(rng.standard_normal(n_buf), jnp.float32))
+        outs = {}
+        for ns in (1, 2, 4):
+            cf = ComplexArray(jnp.zeros((c, 1), jnp.float32),
+                              jnp.zeros((c, 1), jnp.float32))
+            au, f1, z1 = fcp.fm_chain_pallas(
+                buf, bank, lo, jnp.asarray(5, jnp.int32), d, gain, b, a,
+                cf, jnp.zeros((c, 1), jnp.float32),
+                shifts_hz=shifts, sample_rate=FS, n_sub=ns)
+            au2, _, z2 = fcp.fm_chain_pallas(
+                buf, bank, lo, jnp.asarray(5 + n_buf - (t - 1), jnp.int32),
+                d, gain, b, a, f1, z1,
+                shifts_hz=shifts, sample_rate=FS, n_sub=ns)
+            outs[ns] = tuple(np.asarray(v) for v in
+                             (au, f1.re, f1.im, z1, au2, z2))
+        for ns in (2, 4):
+            errs = [np.max(np.abs(x - y))
+                    for x, y in zip(outs[1], outs[ns])]
+            assert errs[0] < 1e-5 and errs[4] < 1e-5, (ns, errs)
+            assert errs[1] == errs[2] == errs[3] == errs[5] == 0.0, \
+                (ns, errs)
+
     def test_nonzero_first_sample_index(self):
         m_xla, m_pal = self._models(nch=2)
         rf = self._fm_rf(m_xla, 4096, seed=3)
@@ -213,6 +259,17 @@ class TestKernelMath:
         got = np.asarray(atan2_poly(jnp.asarray(y), jnp.asarray(x)))
         want = np.arctan2(y, x)
         assert np.max(np.abs(got - want)) < 3e-6
+
+    def test_atan2_poly_order7_accuracy(self):
+        """The bf16x2 fast grade's 7th-order fit: ~8.2e-5 rad minimax
+        bound (its dot quantization error ~7e-4 dominates)."""
+        from gsdr_tpu.kernels.kmath import atan2_poly
+        y = RNG.standard_normal(10000).astype(np.float32) * 3
+        x = RNG.standard_normal(10000).astype(np.float32) * 3
+        got = np.asarray(atan2_poly(jnp.asarray(y), jnp.asarray(x),
+                                    order=7))
+        want = np.arctan2(y, x)
+        assert np.max(np.abs(got - want)) < 1e-4
 
     def test_atan2_poly_edges(self):
         from gsdr_tpu.kernels.kmath import atan2_poly
