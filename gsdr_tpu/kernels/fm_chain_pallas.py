@@ -888,7 +888,7 @@ class FmChainPlan:
 def fm_chain_plan(kernel_bank, decimation, gain, deemph_b, deemph_a,
                   n_buf, shifts_hz, sample_rate,
                   block_n=4096, precision="bf16x3", xq_mode="nt",
-                  n_sub="auto"):
+                  n_sub="auto", cap_words=3_500_000):
     """Build the host-side plan for a tail-prepended buffer of n_buf samples.
 
     Raises ValueError when the shape cannot run fused (T % D != 0, or the
@@ -906,17 +906,29 @@ def fm_chain_plan(kernel_bank, decimation, gain, deemph_b, deemph_a,
             f"unsupported (D={d}, T={t}, M={m}) for fused chain")
     c_eff, r_stack, groups, _ = geom
     rows = r_stack * 2 * d
-    # VMEM guard (FM: y, pj, rotor/disc/de-emph planes, audio + the
-    # (bn, K) window scratch; Mosaic liveness reuse measured ~4.5
-    # full-height arrays): cap bn so the block fits scoped VMEM.
-    # At the full-lane R=16 flagship geometry (R*2C=512, K=256) the cap
-    # evaluates to 1367 and bn lands on 1024 — the geometry that
-    # produced the round-2 ~6800-7250 Msps headline. (The block_n=4096
-    # default only engages at smaller R*2C; pre-R-growth it measured
-    # ~5 us/step faster than 2048 and 8192 OOM'd.)
-    cap = max(_LANE, 3_500_000 // (
-        9 * r_stack * 2 * c_eff // 2 + groups * rows))
-    bn = _pick_bn_padded(-(-m // r_stack), cap, block_n)
+    # Block size: target ~16 grid steps, bounded by an n_sub-aware VMEM
+    # footprint check. Measured ladders (2026-08-18, v5e): fm64's old
+    # bn=256 (64 steps) ran 465-495 us vs 423-432 at bn=1024 (16 steps),
+    # while fm16's bn=2048 (8 steps) lost slightly to bn=1024 (16 steps)
+    # in 5/6 paired runs — 16 steps is the sweet spot at both geometries.
+    # Footprint: the intra-step split keeps the VPU temporaries bs-wide,
+    # so the old ~4.5-full-height liveness model relaxes by min(n_sub, 4)
+    # (conservative half of the split; fm64/bn1024 and fm16/bn2048 both
+    # compile and run correct on HW under it, rel err 1.3e-4 / 4.2e-5).
+    n_j_real = -(-m // r_stack)
+    # log-space-nearest power of two to n_j/16 (grow while bn <
+    # n_j/(16*sqrt(2)), squared to stay integer-exact): n_j=15625 must
+    # round UP to bn=1024 (15.3 steps), not floor to 512.
+    bn = _LANE
+    while bn * 2 <= int(block_n) and 512 * bn * bn < n_j_real * n_j_real:
+        bn *= 2
+    while bn > _LANE:
+        ns_c = min(8, bn // _LANE)
+        words = (9 * r_stack * 2 * c_eff // 2 // min(ns_c, 4)
+                 + groups * rows) * bn
+        if words <= int(cap_words):
+            break
+        bn //= 2
     m_eff = -(-m // (r_stack * bn)) * (r_stack * bn)
     n_j = m_eff // r_stack
     g = _g_matrix_stacked(_pad_bank(kh, c_eff), d, c_eff, r_stack, groups,
