@@ -91,9 +91,13 @@ def main():
     # best of 3 independent timing passes: the tunnel occasionally has
     # sustained slow windows (one observed pass read 44% low while the
     # surrounding runs agreed); min-time across passes is the standard
-    # noisy-benchmark practice and each pass is itself a 5-rep median
-    sec = min(time_step(model.step, state, rf, iters=ITERS, reps=5)
-              for _ in range(3))
+    # noisy-benchmark practice and each pass is itself a 5-rep median.
+    # Guard against fast-window ARTIFACTS too (one session read 27.7
+    # us/step — below the 65-us MXU floor, physically impossible): only
+    # accept the min among passes within 20% of the median pass.
+    secs = sorted(time_step(model.step, state, rf, iters=ITERS, reps=5)
+                  for _ in range(3))
+    sec = min(s for s in secs if s >= 0.8 * secs[1])
     msps = N_SAMPLES / sec / 1e6
     err = hw_accuracy_check(model, model_xla)
     print(json.dumps({
