@@ -637,7 +637,7 @@ def _fm_chain_kernel(*refs,
              for r in range(r_stack)], axis=0)
         # jnp.arctan2 has no Mosaic lowering; polynomial atan2. The
         # bf16x2 grade's dot quantization (~7e-4 rel) dwarfs the 7th-order
-        # fit's ~1.5e-5 rad, so the fast grade drops two fma passes here.
+        # fit's ~8.2e-5 rad, so the fast grade drops two fma passes here.
         d_all = gain * atan2_poly(
             m_im, m_re, order=7 if f32_dot == "bf16x2" else 11)
         # d_all: (R*C_eff, bs), r-major rows
@@ -888,7 +888,7 @@ class FmChainPlan:
 def fm_chain_plan(kernel_bank, decimation, gain, deemph_b, deemph_a,
                   n_buf, shifts_hz, sample_rate,
                   block_n=4096, precision="bf16x3", xq_mode="nt",
-                  n_sub="auto", cap_words=3_500_000):
+                  n_sub="auto", cap_words=3_500_000, _force_bn=None):
     """Build the host-side plan for a tail-prepended buffer of n_buf samples.
 
     Raises ValueError when the shape cannot run fused (T % D != 0, or the
@@ -916,19 +916,48 @@ def fm_chain_plan(kernel_bank, decimation, gain, deemph_b, deemph_a,
     # (conservative half of the split; fm64/bn1024 and fm16/bn2048 both
     # compile and run correct on HW under it, rel err 1.3e-4 / 4.2e-5).
     n_j_real = -(-m // r_stack)
-    # log-space-nearest power of two to n_j/16 (grow while bn <
-    # n_j/(16*sqrt(2)), squared to stay integer-exact): n_j=15625 must
-    # round UP to bn=1024 (15.3 steps), not floor to 512.
-    bn = _LANE
-    while bn * 2 <= int(block_n) and 512 * bn * bn < n_j_real * n_j_real:
-        bn *= 2
-    while bn > _LANE:
-        ns_c = min(8, bn // _LANE)
-        words = (9 * r_stack * 2 * c_eff // 2 // min(ns_c, 4)
-                 + groups * rows) * bn
-        if words <= int(cap_words):
-            break
-        bn //= 2
+
+    # 'auto': split the block into 128-column sub-blocks, up to 8 — the
+    # HW A/B at the flagship (2026-08-18) measured n_sub 1/2/4/8 =
+    # 149/145/139/135 us (bf16x3) and 127/118/123/121 (bf16x2), repeatably
+    # ordered across rounds; the MXU-first issue order lets the scheduler
+    # overlap the dots with the previous sub-block's VPU stages.
+    def _ns_at(bn_c):
+        ns = min(8, max(1, bn_c // _LANE)) if n_sub == "auto" else int(n_sub)
+        while ns > 1 and (bn_c % ns != 0 or (bn_c // ns) % _LANE != 0):
+            ns //= 2
+        return ns
+
+    if _force_bn is not None:
+        # test/A-B hook: bypass the chooser (still lane-aligned). Small
+        # shapes can never grow bn past n_j/16, which would leave the
+        # n_sub>1 kernel paths untestable at test-sized inputs.
+        bn = int(_force_bn)
+        if bn < _LANE or bn % _LANE != 0:
+            raise ValueError(f"_force_bn={bn} must be a multiple of 128")
+    else:
+        # log-space-nearest power of two to n_j/16 (grow while bn <
+        # n_j/(16*sqrt(2)), squared to stay integer-exact): n_j=15625 must
+        # round UP to bn=1024 (15.3 steps), not floor to 512.
+        bn = _LANE
+        while bn * 2 <= int(block_n) and 512 * bn * bn < n_j_real * n_j_real:
+            bn *= 2
+        # VMEM footprint: relax the liveness model by the ACTUAL split at
+        # each candidate bn (an explicit n_sub=1 must not inherit the auto
+        # split's relaxation — its VPU temporaries stay full-bn-wide).
+        while bn > _LANE:
+            words = (9 * r_stack * 2 * c_eff // 2 // min(_ns_at(bn), 4)
+                     + groups * rows) * bn
+            if words <= int(cap_words):
+                break
+            bn //= 2
+    requested = n_sub
+    n_sub = _ns_at(bn)
+    if requested != "auto" and int(requested) != n_sub:
+        import warnings
+        warnings.warn(
+            f"fm_chain_plan: n_sub={requested} cannot split bn={bn} into "
+            f"lane-aligned sub-blocks; running n_sub={n_sub}", stacklevel=2)
     m_eff = -(-m // (r_stack * bn)) * (r_stack * bn)
     n_j = m_eff // r_stack
     g = _g_matrix_stacked(_pad_bank(kh, c_eff), d, c_eff, r_stack, groups,
@@ -945,14 +974,6 @@ def fm_chain_plan(kernel_bank, decimation, gain, deemph_b, deemph_a,
         + (0.0,) * (c_eff - c_cnt)
     pj_np, bt_np = _phasor_tables(shifts_eff, sample_rate, d, r_stack, bn,
                                   n_j // bn)
-    # 'auto': split the block into 128-column sub-blocks, up to 8 — the
-    # HW A/B at the flagship (2026-08-18) measured n_sub 1/2/4/8 =
-    # 149/145/139/135 us (bf16x3) and 127/118/123/121 (bf16x2), repeatably
-    # ordered across rounds; the MXU-first issue order lets the scheduler
-    # overlap the dots with the previous sub-block's VPU stages.
-    n_sub = min(8, max(1, bn // _LANE)) if n_sub == "auto" else int(n_sub)
-    while n_sub > 1 and (bn % n_sub != 0 or (bn // n_sub) % _LANE != 0):
-        n_sub //= 2
     return FmChainPlan(
         d=d, t=t, c_cnt=c_cnt, c_eff=c_eff, r_stack=r_stack, groups=groups,
         rows=rows, bn=bn, n_j=n_j, m=m, n_buf=int(n_buf),

@@ -31,7 +31,9 @@ _D7 = -0.038989304
 
 
 def atan_poly01(r, order=11):
-    """atan(r) for r in [0, 1]."""
+    """atan(r) for r in [0, 1]. ``order`` must be 7 or 11."""
+    if order not in (7, 11):
+        raise ValueError(f"unsupported atan polynomial order {order}")
     r2 = r * r
     if order >= 11:
         p = _C11

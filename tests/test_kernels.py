@@ -197,8 +197,12 @@ class TestFusedFmChain:
         issued before any VPU stage) must be numerically inert: exported
         streaming carries EXACT vs n_sub=1 (same association), audio
         within 1 ulp (the de-emphasis lane scan re-associates at sub
-        boundaries). Covers a pad-and-mask (non-grid-aligned) length and
-        a second streaming step from the carried state."""
+        boundaries). Covers a pad-and-mask (non-grid-aligned) length, a
+        second streaming step from the carried state, and a multi-grid-
+        step geometry. Uses _force_bn: at test-sized inputs the block
+        chooser caps bn at 128, which silently demotes every n_sub>1 to 1
+        (a committed earlier version of this test was vacuous that way —
+        assert plan.n_sub to prove the split actually ran)."""
         from gsdr_tpu.kernels import fm_chain_pallas as fcp
         from gsdr_tpu.ops.channelize import make_complex_tap_bank
         from gsdr_tpu.ops.fm import fm_demod_gain
@@ -217,26 +221,33 @@ class TestFusedFmChain:
         buf = ComplexArray(
             jnp.asarray(rng.standard_normal(n_buf), jnp.float32),
             jnp.asarray(rng.standard_normal(n_buf), jnp.float32))
-        outs = {}
-        for ns in (1, 2, 4):
+
+        def run(bn, ns):
+            plan = fcp.fm_chain_plan(bank, d, gain, b, a, n_buf, shifts,
+                                     FS, n_sub=ns, _force_bn=bn)
+            assert plan.n_sub == ns and plan.bn == bn, (plan.bn,
+                                                       plan.n_sub)
             cf = ComplexArray(jnp.zeros((c, 1), jnp.float32),
                               jnp.zeros((c, 1), jnp.float32))
-            au, f1, z1 = fcp.fm_chain_pallas(
-                buf, bank, lo, jnp.asarray(5, jnp.int32), d, gain, b, a,
-                cf, jnp.zeros((c, 1), jnp.float32),
-                shifts_hz=shifts, sample_rate=FS, n_sub=ns)
-            au2, _, z2 = fcp.fm_chain_pallas(
-                buf, bank, lo, jnp.asarray(5 + n_buf - (t - 1), jnp.int32),
-                d, gain, b, a, f1, z1,
-                shifts_hz=shifts, sample_rate=FS, n_sub=ns)
-            outs[ns] = tuple(np.asarray(v) for v in
-                             (au, f1.re, f1.im, z1, au2, z2))
-        for ns in (2, 4):
-            errs = [np.max(np.abs(x - y))
-                    for x, y in zip(outs[1], outs[ns])]
-            assert errs[0] < 1e-5 and errs[4] < 1e-5, (ns, errs)
-            assert errs[1] == errs[2] == errs[3] == errs[5] == 0.0, \
-                (ns, errs)
+            au, f1, z1 = fcp.fm_chain_apply(
+                plan, buf, lo, jnp.asarray(5, jnp.int32), cf,
+                jnp.zeros((c, 1), jnp.float32))
+            au2, _, z2 = fcp.fm_chain_apply(
+                plan, buf, lo,
+                jnp.asarray(5 + n_buf - (t - 1), jnp.int32), f1, z1)
+            return tuple(np.asarray(v) for v in
+                         (au, f1.re, f1.im, z1, au2, z2))
+
+        # bn=512: one padded grid step (n_j=375), subs 2/4 real;
+        # bn=256/ns=2: two grid steps — cross-grid-step carry under split
+        for bn, base_ns, split_ns in ((512, 1, (2, 4)), (256, 1, (2,))):
+            ref = run(bn, base_ns)
+            for ns in split_ns:
+                got = run(bn, ns)
+                errs = [np.max(np.abs(x - y)) for x, y in zip(ref, got)]
+                assert errs[0] < 1e-5 and errs[4] < 1e-5, (bn, ns, errs)
+                assert errs[1] == errs[2] == errs[3] == errs[5] == 0.0, \
+                    (bn, ns, errs)
 
     def test_nonzero_first_sample_index(self):
         m_xla, m_pal = self._models(nch=2)
