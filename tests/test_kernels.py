@@ -249,6 +249,24 @@ class TestFusedFmChain:
                 assert errs[1] == errs[2] == errs[3] == errs[5] == 0.0, \
                     (bn, ns, errs)
 
+    def test_n_sub_explicit_demotion_warns(self):
+        """An explicit n_sub the chosen bn cannot honor must warn (a
+        silent demotion once made an A/B ladder — and this file's own
+        parity test — measure n_sub=1 against itself)."""
+        import warnings as w
+        from gsdr_tpu.kernels import fm_chain_pallas as fcp
+        from gsdr_tpu.ops.channelize import make_complex_tap_bank
+        bank = make_complex_tap_bank(
+            (np.hamming(32) / np.hamming(32).sum()), [1000.0], FS)
+        with w.catch_warnings(record=True) as rec:
+            w.simplefilter("always")
+            plan = fcp.fm_chain_plan(bank, 4, 2.0, (0.1, 0.1),
+                                     (1.0, -0.8), 4096 + 31, [1000.0],
+                                     FS, n_sub=4)
+        assert plan.n_sub == 1  # bn=128 cannot split lane-aligned
+        assert any("n_sub=4" in str(r.message) for r in rec), \
+            [str(r.message) for r in rec]
+
     def test_nonzero_first_sample_index(self):
         m_xla, m_pal = self._models(nch=2)
         rf = self._fm_rf(m_xla, 4096, seed=3)
