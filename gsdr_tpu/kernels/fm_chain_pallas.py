@@ -363,45 +363,63 @@ def _window_dot(v, gh_ref, gl_ref, w_ref, bn, groups, rows, f32_dot,
 # AM fused chain
 # ---------------------------------------------------------------------------
 
-def _am_chain_kernel(*refs, groups, rows, c_eff, r_stack, f32_dot, xq_mode):
+def _am_chain_kernel(*refs, groups, rows, c_eff, r_stack, f32_dot, xq_mode,
+                     n_sub=1):
     """Fused AM chain: stacked windows+dot + envelope 2*clamp(|.|,0,1)-1
     (the reference's fused k_Am, /root/reference/src/am.cu:21-50). The LO
     window-start rotor is a unit phasor and the envelope is magnitude-only,
     so the rotor drops out entirely — the mixing inside the filter window
-    is already in the complex tap bank."""
+    is already in the complex tap bank.
+
+    n_sub: intra-step overlap split (same mechanism as the FM kernel —
+    all window dots issued into disjoint scratches before any envelope
+    math, so the scheduler overlaps MXU and VPU work)."""
     nx = _n_xq_parts(xq_mode)
     xq_refs, halo_refs = refs[:nx], refs[nx:2 * nx]
-    gh_ref, gl_ref, audio_ref, w_ref = refs[2 * nx:]
+    gh_ref, gl_ref, audio_ref = refs[2 * nx:2 * nx + 3]
+    w_refs = refs[2 * nx + 3:2 * nx + 3 + n_sub]
     bn = audio_ref.shape[1]
+    bs = bn // n_sub
     v = _build_v(xq_refs, halo_refs, xq_mode)
-    y = _window_dot(v, gh_ref, gl_ref, w_ref, bn, groups, rows, f32_dot,
-                    nt=xq_mode == "nt")
-    for r in range(r_stack):
-        row0 = r * 2 * c_eff
-        y_re = y[row0:row0 + c_eff, :]
-        y_im = y[row0 + c_eff:row0 + 2 * c_eff, :]
-        mag = jnp.sqrt(y_re * y_re + y_im * y_im)
-        audio_ref[r * c_eff:(r + 1) * c_eff, :] = \
-            2.0 * jnp.clip(mag, 0.0, 1.0) - 1.0
+    nt = xq_mode == "nt"
+    ys = [
+        _window_dot(v, gh_ref, gl_ref, w_refs[s], bs, groups, rows,
+                    f32_dot, nt=nt, col_off=s * bs)
+        for s in range(n_sub)
+    ]
+    for s in range(n_sub):
+        y = ys[s]
+        sl = slice(s * bs, (s + 1) * bs)
+        for r in range(r_stack):
+            row0 = r * 2 * c_eff
+            y_re = y[row0:row0 + c_eff, :]
+            y_im = y[row0 + c_eff:row0 + 2 * c_eff, :]
+            mag = jnp.sqrt(y_re * y_re + y_im * y_im)
+            audio_ref[r * c_eff:(r + 1) * c_eff, sl] = \
+                2.0 * jnp.clip(mag, 0.0, 1.0) - 1.0
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("block_n", "groups", "rows", "c_eff", "r_stack",
-                     "f32_dot", "interpret", "xq_mode"))
+                     "f32_dot", "interpret", "xq_mode", "n_sub"))
 def _run_am(xq, gh, gl, *, block_n, groups, rows, c_eff, r_stack, f32_dot,
-            interpret, xq_mode="flat"):
+            interpret, xq_mode="flat", n_sub=1):
     xq_parts = xq if isinstance(xq, tuple) else (xq,)
     n_coarse_total = _n_coarse_of(xq_parts[0], xq_mode)
     k_rows = gh.shape[1]
     n_out = n_coarse_total - _LANE
     bn = block_n
+    if bn % n_sub != 0 or (bn // n_sub) % _LANE != 0:
+        raise ValueError(f"n_sub={n_sub} must split bn={bn} into "
+                         f"lane-aligned sub-blocks")
     kernel = functools.partial(_am_chain_kernel, groups=groups, rows=rows,
                                c_eff=c_eff, r_stack=r_stack, f32_dot=f32_dot,
-                               xq_mode=xq_mode)
+                               xq_mode=xq_mode, n_sub=n_sub)
     vm = pltpu.VMEM
     xq_specs, halo_specs = _xq_specs(xq_mode, rows, bn)
-    w_shape = (bn, k_rows) if xq_mode == "nt" else (k_rows, bn)
+    bs = bn // n_sub
+    w_shape = (bs, k_rows) if xq_mode == "nt" else (k_rows, bs)
     w_dtype = jnp.bfloat16 if f32_dot == "bf16x2" else jnp.float32
     return pl.pallas_call(
         kernel,
@@ -413,7 +431,7 @@ def _run_am(xq, gh, gl, *, block_n, groups, rows, c_eff, r_stack, f32_dot,
         out_specs=pl.BlockSpec((r_stack * c_eff, bn), lambda i: (0, i),
                                memory_space=vm),
         out_shape=jax.ShapeDtypeStruct((r_stack * c_eff, n_out), jnp.float32),
-        scratch_shapes=[pltpu.VMEM(w_shape, w_dtype)],
+        scratch_shapes=[pltpu.VMEM(w_shape, w_dtype) for _ in range(n_sub)],
         interpret=interpret,
     )(*xq_parts, *xq_parts, gh, gl)
 
@@ -456,10 +474,11 @@ class AmChainPlan:
     xq_mode: str
     gh: object
     gl: object
+    n_sub: int = 1
 
 
 def am_chain_plan(kernel_bank, decimation, n_buf, block_n=4096,
-                  precision="bf16x3", xq_mode="nt"):
+                  precision="bf16x3", xq_mode="nt", n_sub="auto"):
     """Host-side plan for the fused AM chain over an n_buf-sample buffer."""
     kh = np.asarray(kernel_bank)
     k2c, _, t = kh.shape
@@ -481,11 +500,21 @@ def am_chain_plan(kernel_bank, decimation, n_buf, block_n=4096,
                           order="planar" if xq_mode == "nt"
                           else "interleaved")
     gh, gl, f32_dot = _split_g(g, precision)
+    # intra-step overlap split (see fm_chain_plan): auto = min(8, bn/128)
+    requested = n_sub
+    n_sub = min(8, max(1, bn // _LANE)) if n_sub == "auto" else int(n_sub)
+    while n_sub > 1 and (bn % n_sub != 0 or (bn // n_sub) % _LANE != 0):
+        n_sub //= 2
+    if requested != "auto" and int(requested) != n_sub:
+        import warnings
+        warnings.warn(
+            f"am_chain_plan: n_sub={requested} cannot split bn={bn} into "
+            f"lane-aligned sub-blocks; running n_sub={n_sub}", stacklevel=2)
     return AmChainPlan(
         d=d, t=t, c_cnt=c_cnt, c_eff=c_eff, r_stack=r_stack, groups=groups,
         rows=rows, bn=bn, n_j=n_j, m=m, n_buf=int(n_buf),
         f32_dot=f32_dot, xq_mode=xq_mode,
-        gh=np.asarray(gh), gl=np.asarray(gl))
+        gh=np.asarray(gh), gl=np.asarray(gl), n_sub=n_sub)
 
 
 def am_chain_apply(plan, buf, gh=None, gl=None, interpret=False):
@@ -503,7 +532,7 @@ def am_chain_apply(plan, buf, gh=None, gl=None, interpret=False):
         jnp.asarray(plan.gl if gl is None else gl),
         block_n=plan.bn, groups=plan.groups, rows=plan.rows,
         c_eff=plan.c_eff, r_stack=plan.r_stack, f32_dot=plan.f32_dot,
-        interpret=interpret, xq_mode=plan.xq_mode)
+        interpret=interpret, xq_mode=plan.xq_mode, n_sub=plan.n_sub)
     return _unstack(audio, plan.c_eff, plan.c_cnt, plan.r_stack, plan.m)
 
 

@@ -338,6 +338,30 @@ class TestFusedAmChain:
         # envelope is magnitude-only, so unlike FM there is no branch-cut
         # sensitivity and noise input is a fair comparison
 
+    def test_n_sub_split_parity(self):
+        """The AM kernel's overlap split must be bit-identical to the
+        unsplit kernel (no cross-column state in AM — the sub-blocks
+        compute disjoint columns of the same dots). Sized so bn=256
+        genuinely splits (small shapes demote n_sub to 1 and would test
+        nothing)."""
+        from gsdr_tpu.kernels import fm_chain_pallas as fcp
+        from gsdr_tpu.ops.channelize import make_complex_tap_bank
+
+        t, d = 64, 4
+        n_buf = 131072 + t - 1
+        rng = np.random.default_rng(3)
+        taps = (np.hamming(t) / np.hamming(t).sum())
+        bank = make_complex_tap_bank(taps, [12_345.0], FS)
+        buf = ComplexArray(
+            jnp.asarray(rng.standard_normal(n_buf), jnp.float32),
+            jnp.asarray(rng.standard_normal(n_buf), jnp.float32))
+        outs = {}
+        for ns in (1, 2):
+            plan = fcp.am_chain_plan(bank, d, n_buf, n_sub=ns)
+            assert plan.n_sub == ns, (plan.bn, plan.n_sub)
+            outs[ns] = np.asarray(fcp.am_chain_apply(plan, buf))
+        assert np.array_equal(outs[1], outs[2])
+
 
 class TestFusedAmChainPadding:
     def test_arbitrary_block_length(self):
