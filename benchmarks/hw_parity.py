@@ -157,6 +157,57 @@ def check_fm():
                   _rel(st2[2].to_numpy(), st1[2].to_numpy()), 2e-3)
     ok &= _report("fm_fused_pad_carry_z",
                   _rel(np.asarray(st2[3]), np.asarray(st1[3])), 2e-3)
+
+    # 64-channel geometry at the adopted big-block sizing (bn=1024,
+    # n_sub=8 via the n_sub-aware VMEM model): guards the large-M
+    # footprint + split interplay on real hardware. Shorter buffer than
+    # the bench shape, same forced geometry.
+    from gsdr_tpu.kernels import fm_chain_pallas as fcp
+    from gsdr_tpu.ops.channelize import make_complex_tap_bank
+    from gsdr_tpu.ops.fm import fm_demod_gain
+    from gsdr_tpu.pipelines.fm_radio import fm_deemphasis_coeffs
+    from gsdr_tpu.utils.phase import phase_digit_table
+    fs = 1e6
+    taps64 = np.asarray(lowpass(64, 0.03), np.float64)
+    shifts = [3000.0 * (k + 1) for k in range(64)]
+    bank = make_complex_tap_bank(taps64, shifts, fs)
+    gain = fm_demod_gain(fs, 75_000.0)
+    b_, a_ = fm_deemphasis_coeffs(75e-6, fs / 4)
+    # N = 2^20: the exact adopted production geometry (bn=1024 from the
+    # chooser at this length). A SHORT buffer with _force_bn=1024 OOMs
+    # scoped VMEM by ~2.1M — Mosaic VMEM-promotes the then-small xq
+    # operands (4 x 545KB at n_coarse=2176) on top of the block working
+    # set; the chooser never produces that combination.
+    n64 = 1 << 20
+    t3 = np.arange(n64 + 63) / fs
+    sig3 = np.zeros(n64 + 63, np.complex128)
+    for k in range(0, 64, 7):
+        msg = np.sin(2 * np.pi * (700.0 + 37.0 * k) * t3)
+        sig3 += 0.05 * np.exp(
+            1j * (2 * np.pi * shifts[k] * t3 + 0.3 * msg))
+    buf = ComplexArray(jnp.asarray(sig3.real, jnp.float32),
+                       jnp.asarray(sig3.imag, jnp.float32))
+    plan = fcp.fm_chain_plan(bank, 4, gain, b_, a_, n64 + 63, shifts, fs,
+                             _force_bn=1024)
+    lo = phase_digit_table(shifts, fs)
+    cf = ComplexArray(jnp.zeros((64, 1), jnp.float32),
+                      jnp.zeros((64, 1), jnp.float32))
+    au, _, _ = fcp.fm_chain_apply(plan, buf, lo, jnp.asarray(0, jnp.int32),
+                                  cf, jnp.zeros((64, 1), jnp.float32))
+    # Reference: the UNSPLIT kernel at bn=256 (the proven pre-round-3
+    # geometry — unsplit cannot run bn>=512 at 64ch, its full-bn VPU
+    # temporaries exceed scoped VMEM; that is what the n_sub-aware model
+    # encodes). Different bn only re-associates the de-emphasis lane
+    # scan (ulp-level); real outputs are the same math.
+    plan1 = fcp.fm_chain_plan(bank, 4, gain, b_, a_, n64 + 63, shifts, fs,
+                              _force_bn=256, n_sub=1)
+    au1, _, _ = fcp.fm_chain_apply(plan1, buf, lo,
+                                   jnp.asarray(0, jnp.int32), cf,
+                                   jnp.zeros((64, 1), jnp.float32))
+    au, au1 = np.asarray(au), np.asarray(au1)
+    err = float(np.max(np.abs(au[:, 256:] - au1[:, 256:]))
+                / max(np.max(np.abs(au1)), 1e-9))
+    ok &= _report("fm64_bn1024_split_vs_bn256_unsplit", err, 1e-5)
     return ok
 
 
