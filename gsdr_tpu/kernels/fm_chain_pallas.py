@@ -118,7 +118,7 @@ def _pick_bn_padded(n_j_real, cap_cols, block_n):
     return bn
 
 
-def _stack_geometry(c_cnt, t, d, m, pad_m=False):
+def _stack_geometry(c_cnt, t, d, m, pad_m=False, r_override=None):
     """(c_eff, R, groups, m_eff) for the stacked contraction, or None if
     the shape cannot run fused. c_eff pads channels to a sublane multiple
     so every in-kernel row slice is 8-aligned.
@@ -130,11 +130,23 @@ def _stack_geometry(c_cnt, t, d, m, pad_m=False):
     of the last grid position (_fm_chain_kernel last_i/last_col/last_r).
     pad_m=False keeps the exact-alignment requirement for callers that
     cannot mask.
+
+    ``r_override``: force the stacking factor R instead of _pick_r — the
+    MXU floor scales with the Toeplitz span K ~ (p_cnt+R-1)*2D, so
+    MXU-bound geometries (large C) can win with a smaller R than the
+    full-lane W-build optimum (measurement hook + tuned-geometry knob).
     """
     if t % d != 0:
         return None
     c_eff = -(-c_cnt // _SUB) * _SUB
-    r = _pick_r(c_eff, d)
+    if r_override is not None:
+        r = int(r_override)
+        if r < 1 or (r & (r - 1)) or (r * 2 * d) % _SUB != 0:
+            raise ValueError(
+                f"r_stack={r} must be a power of two with R*2D "
+                f"sublane-aligned (D={d})")
+    else:
+        r = _pick_r(c_eff, d)
     if not pad_m:
         while r > 1 and (m % (r * _LANE) != 0):
             r //= 2
@@ -478,14 +490,15 @@ class AmChainPlan:
 
 
 def am_chain_plan(kernel_bank, decimation, n_buf, block_n=4096,
-                  precision="bf16x3", xq_mode="nt", n_sub="auto"):
+                  precision="bf16x3", xq_mode="nt", n_sub="auto",
+                  r_stack=None):
     """Host-side plan for the fused AM chain over an n_buf-sample buffer."""
     kh = np.asarray(kernel_bank)
     k2c, _, t = kh.shape
     c_cnt = k2c // 2
     d = int(decimation)
     m = (int(n_buf) - t) // d + 1
-    geom = _stack_geometry(c_cnt, t, d, m, pad_m=True)
+    geom = _stack_geometry(c_cnt, t, d, m, pad_m=True, r_override=r_stack)
     if geom is None:
         raise ValueError(f"unsupported (D={d}, T={t}, M={m}) for fused chain")
     c_eff, r_stack, groups, _ = geom
@@ -917,19 +930,22 @@ class FmChainPlan:
 def fm_chain_plan(kernel_bank, decimation, gain, deemph_b, deemph_a,
                   n_buf, shifts_hz, sample_rate,
                   block_n=4096, precision="bf16x3", xq_mode="nt",
-                  n_sub="auto", cap_words=3_500_000, _force_bn=None):
+                  n_sub="auto", cap_words=3_500_000, _force_bn=None,
+                  r_stack=None):
     """Build the host-side plan for a tail-prepended buffer of n_buf samples.
 
     Raises ValueError when the shape cannot run fused (T % D != 0, or the
     taps outrun the 128-coarse-column halo window). M is padded up to the
     R*128 grid and masked (round 3) — any output count works.
+
+    ``r_stack``: override the stacking factor (see _stack_geometry).
     """
     kh = np.asarray(kernel_bank)
     k2c, _, t = kh.shape
     c_cnt = k2c // 2
     d = int(decimation)
     m = (int(n_buf) - t) // d + 1
-    geom = _stack_geometry(c_cnt, t, d, m, pad_m=True)
+    geom = _stack_geometry(c_cnt, t, d, m, pad_m=True, r_override=r_stack)
     if geom is None:
         raise ValueError(
             f"unsupported (D={d}, T={t}, M={m}) for fused chain")

@@ -249,6 +249,61 @@ class TestFusedFmChain:
                 assert errs[1] == errs[2] == errs[3] == errs[5] == 0.0, \
                     (bn, ns, errs)
 
+    def test_r_stack_override_parity(self):
+        """The r_stack geometry override (smaller R shrinks the Toeplitz
+        span K, trading MXU FLOPs against W-build lane width — a tuning
+        knob for MXU-bound channel counts) must compute the same chain:
+        audio within re-association tolerance of the default geometry and
+        carries matching the carried-state contract across a streaming
+        step."""
+        from gsdr_tpu.kernels import fm_chain_pallas as fcp
+        from gsdr_tpu.ops.channelize import make_complex_tap_bank
+        from gsdr_tpu.ops.fm import fm_demod_gain
+        from gsdr_tpu.pipelines.fm_radio import fm_deemphasis_coeffs
+        from gsdr_tpu.utils.phase import phase_digit_table
+
+        t, d, c = 32, 4, 4
+        n_buf = 6000 * d + t - 1
+        rng = np.random.default_rng(1)
+        taps = (np.hamming(t) / np.hamming(t).sum()).astype(np.float64)
+        shifts = [1000.0 * (k + 1) for k in range(c)]
+        bank = make_complex_tap_bank(taps, shifts, FS)
+        lo = phase_digit_table(shifts, FS)
+        gain = fm_demod_gain(FS, 75000.0)
+        b, a = fm_deemphasis_coeffs(75e-6, FS / d)
+        buf = ComplexArray(
+            jnp.asarray(rng.standard_normal(n_buf), jnp.float32),
+            jnp.asarray(rng.standard_normal(n_buf), jnp.float32))
+
+        def run(r):
+            plan = fcp.fm_chain_plan(bank, d, gain, b, a, n_buf, shifts,
+                                     FS, r_stack=r)
+            if r is not None:
+                assert plan.r_stack == r, plan.r_stack
+            cf = ComplexArray(jnp.zeros((c, 1), jnp.float32),
+                              jnp.zeros((c, 1), jnp.float32))
+            au, f1, z1 = fcp.fm_chain_apply(
+                plan, buf, lo, jnp.asarray(5, jnp.int32), cf,
+                jnp.zeros((c, 1), jnp.float32))
+            au2, _, z2 = fcp.fm_chain_apply(
+                plan, buf, lo,
+                jnp.asarray(5 + n_buf - (t - 1), jnp.int32), f1, z1)
+            return tuple(np.asarray(v) for v in
+                         (au, f1.re, f1.im, z1, au2, z2))
+
+        ref = run(None)   # default geometry (R=16 at D=4)
+        for r in (4, 8):
+            got = run(r)
+            errs = [np.max(np.abs(x - y)) for x, y in zip(ref, got)]
+            # different R re-associates the FIR dot and the de-emphasis
+            # (J, r) decomposition — close, not bit-equal
+            assert max(errs) < 5e-5, (r, errs)
+
+        import pytest
+        with pytest.raises(ValueError):
+            fcp.fm_chain_plan(bank, d, gain, b, a, n_buf, shifts, FS,
+                              r_stack=3)
+
     def test_n_sub_explicit_demotion_warns(self):
         """An explicit n_sub the chosen bn cannot honor must warn (a
         silent demotion once made an A/B ladder — and this file's own
@@ -361,6 +416,27 @@ class TestFusedAmChain:
             assert plan.n_sub == ns, (plan.bn, plan.n_sub)
             outs[ns] = np.asarray(fcp.am_chain_apply(plan, buf))
         assert np.array_equal(outs[1], outs[2])
+
+    def test_r_stack_override_parity(self):
+        """Forcing a smaller stacking factor re-associates the window dot
+        but must compute the same envelope."""
+        from gsdr_tpu.kernels import fm_chain_pallas as fcp
+        from gsdr_tpu.ops.channelize import make_complex_tap_bank
+
+        t, d = 64, 4
+        n_buf = 65536 + t - 1
+        rng = np.random.default_rng(4)
+        taps = (np.hamming(t) / np.hamming(t).sum())
+        bank = make_complex_tap_bank(taps, [12_345.0], FS)
+        buf = ComplexArray(
+            jnp.asarray(rng.standard_normal(n_buf), jnp.float32),
+            jnp.asarray(rng.standard_normal(n_buf), jnp.float32))
+        ref = np.asarray(fcp.am_chain_apply(
+            fcp.am_chain_plan(bank, d, n_buf), buf))
+        plan8 = fcp.am_chain_plan(bank, d, n_buf, r_stack=8)
+        assert plan8.r_stack == 8
+        got = np.asarray(fcp.am_chain_apply(plan8, buf))
+        assert np.max(np.abs(ref - got)) < 5e-5
 
 
 class TestFusedAmChainPadding:
