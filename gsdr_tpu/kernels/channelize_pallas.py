@@ -145,7 +145,14 @@ def mix_fir_decimate_bank_pallas(x, kernel, decimation, block_n=4096,
                c_eff=c_eff, r_stack=r_stack, f32_dot=f32_dot,
                interpret=interpret, xq_mode=xq_mode)
     # r-major (R*2C_eff, n_j) -> (2C_eff, m_eff): within each r-group the
-    # rows are planes-major (re channels at 0, im channels at c_eff)
+    # rows are planes-major (re channels at 0, im channels at c_eff).
+    # Slice the REAL channel rows BEFORE the un-interleave transpose: XLA
+    # materializes the transpose at full padded width otherwise (measured
+    # on HW at C=1/T=64/D=4/2^20: the full (16,16,16384) transpose is
+    # ~423 us of a 486 us step — 87% — while the kernel+prep is 60.5 us;
+    # transposing only the c_cnt rows cuts the relayout by c_eff/c_cnt).
     a = out.reshape(r_stack, 2 * c_eff, n_j)
-    a = jnp.transpose(a, (1, 2, 0)).reshape(2 * c_eff, n_j * r_stack)
-    return ComplexArray(a[:c_cnt, :m], a[c_eff:c_eff + c_cnt, :m])
+    re = jnp.transpose(a[:, :c_cnt, :], (1, 2, 0))
+    im = jnp.transpose(a[:, c_eff:c_eff + c_cnt, :], (1, 2, 0))
+    return ComplexArray(re.reshape(c_cnt, n_j * r_stack)[:, :m],
+                        im.reshape(c_cnt, n_j * r_stack)[:, :m])

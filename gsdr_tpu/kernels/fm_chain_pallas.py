@@ -460,11 +460,18 @@ def _pad_bank(kernel_np, c_eff):
 
 
 def _unstack(audio, c_eff, c_cnt, r_stack, m):
-    """(R*C_eff, M/R) r-major rows -> (C, M)."""
+    """(R*C_eff, M/R) r-major rows -> (C, M).
+
+    The channel slice happens BEFORE the un-interleave transpose: XLA
+    materializes the transpose at full padded width otherwise, so a
+    padded channel count (c_cnt < c_eff, e.g. the 1-channel AM receiver
+    at c_eff=8) would relayout c_eff/c_cnt times more data than the
+    consumer reads (measured 87% of the standalone channelizer step —
+    see channelize_pallas.mix_fir_decimate_bank_pallas)."""
     n_j = audio.shape[1]
-    a = audio.reshape(r_stack, c_eff, n_j)
-    a = jnp.transpose(a, (1, 2, 0)).reshape(c_eff, n_j * r_stack)
-    return a[:c_cnt, :m]
+    a = audio.reshape(r_stack, c_eff, n_j)[:, :c_cnt, :]
+    a = jnp.transpose(a, (1, 2, 0)).reshape(c_cnt, n_j * r_stack)
+    return a[:, :m]
 
 
 @dataclasses.dataclass(frozen=True)
