@@ -45,6 +45,14 @@ FLOP_PER_SAMPLE = N_CHANNELS * N_TAPS * 8 / DECIMATION
 ROOFLINE_MSPS = F32_PEAK_FLOPS / FLOP_PER_SAMPLE / 1e6
 TARGET_MSPS = 0.9 * ROOFLINE_MSPS
 
+# Structural speed-of-light of the SHIPPED algorithm (bf16x3 stacked-MXU
+# Toeplitz kernel at the flagship geometry) — the reachable bar that
+# vs_baseline's idealized roofline is not (BASELINE.md "SoL derivation"):
+# max(MXU floor ~65 us [3 bf16 passes, K=256 carries the structural 2x
+# Toeplitz FLOP overhead], VPU stages ~46 us, HBM ~45 us) ~= 90 us/step.
+SOL_US = 90.0
+SOL_MSPS = N_SAMPLES / (SOL_US * 1e-6) / 1e6
+
 
 def _fm_signal(model, n, seed=7):
     """Real FM carriers on the model's channels. Accuracy comparisons need
@@ -113,6 +121,7 @@ def main():
         "value": round(msps, 2),
         "unit": "Msamples/s",
         "vs_baseline": round(msps / TARGET_MSPS, 4),
+        "vs_sol": round(msps / SOL_MSPS, 4),
         "hw_max_rel_err": round(err, 6),
     }))
 

@@ -38,7 +38,7 @@ from __graft_entry__ import _model
 N_SAMPLES = 1 << 20
 
 
-def make_step(plan, model, buf_len):
+def make_step(plan, model):
     lo = model._lo_table()
     b_, a_ = model._deemph()
     c = model.num_channels
@@ -90,8 +90,9 @@ def main():
         print(json.dumps({"config": f"{grade}/R{r}", "bn": plan.bn,
                           "n_sub": plan.n_sub, "K": plan.groups * plan.rows,
                           "M": plan.r_stack * 2 * plan.c_eff}), flush=True)
-        steps[(grade, r)] = make_step(plan, model, n_buf)
+        steps[(grade, r)] = make_step(plan, model)
 
+    any_ok = False
     for rnd in range(args.rounds):
         for grade, r in configs:
             step, state0 = steps[(grade, r)]
@@ -101,9 +102,12 @@ def main():
                     "round": rnd, "config": f"{grade}/R{r}",
                     "us_per_step": round(sec * 1e6, 1),
                     "msps": round(N_SAMPLES / sec / 1e6, 1)}), flush=True)
+                any_ok = True
             except Exception as e:
                 print(json.dumps({"round": rnd, "config": f"{grade}/R{r}",
                                   "error": str(e)[:200]}), flush=True)
+    if not any_ok:
+        raise SystemExit("r_ladder: every config errored")
 
 
 if __name__ == "__main__":

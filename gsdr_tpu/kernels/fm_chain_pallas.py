@@ -145,6 +145,16 @@ def _stack_geometry(c_cnt, t, d, m, pad_m=False, r_override=None):
             raise ValueError(
                 f"r_stack={r} must be a power of two with R*2D "
                 f"sublane-aligned (D={d})")
+        if r * 2 * d > 4 * _LANE:
+            raise ValueError(
+                f"r_stack={r} gives window rows R*2D={r * 2 * d} > "
+                f"{4 * _LANE}: past 4 full-lane vregs the VMEM footprint "
+                f"floors bn at 128 and the geometry only loses (measured "
+                f"R ladders in BASELINE.md)")
+        if not pad_m and m % (r * _LANE) != 0:
+            raise ValueError(
+                f"r_stack={r} cannot be honored with pad_m=False: M={m} "
+                f"is not a multiple of R*128={r * _LANE}")
     else:
         r = _pick_r(c_eff, d)
     if not pad_m:
