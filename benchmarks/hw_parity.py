@@ -58,6 +58,8 @@ def check_channelizer():
         (3000, 64, 1, [10_000.0, -7_000.0]),
         (3000, 32, 2, [50_000.0]),
         (4096, 64, 4, [250_000.0, 0.0, 44_100.0]),
+        # round-4: T % D != 0 (trailing-zero tap pad)
+        (4096, 65, 4, [250_000.0, 44_100.0]),
     ]:
         taps = np.hanning(t).astype(np.float32)
         taps /= taps.sum()
@@ -66,10 +68,10 @@ def check_channelizer():
         want = mix_fir_decimate_bank(x, bank, d)
         got = mix_fir_decimate_bank_pallas(x, bank, d)
         err = max(_rel(got.re, want.re), _rel(got.im, want.im))
-        ok &= _report(f"channelize_pallas_D{d}", err, 2e-3)
+        ok &= _report(f"channelize_pallas_D{d}_T{t}", err, 2e-3)
         got32 = mix_fir_decimate_bank_pallas(x, bank, d, precision="f32")
         err32 = max(_rel(got32.re, want.re), _rel(got32.im, want.im))
-        ok &= _report(f"channelize_pallas_D{d}_f32", err32, 1e-5)
+        ok &= _report(f"channelize_pallas_D{d}_T{t}_f32", err32, 1e-5)
     return ok
 
 

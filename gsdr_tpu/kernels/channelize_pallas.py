@@ -14,9 +14,9 @@ loop over global memory with a hardware cache
 (/root/reference/src/fir.cu:57-70, src/adjustFrequency.cu:36-55); on TPU
 the reuse is explicit VMEM residency and the channel bank is one matmul.
 
-Requires only T % D == 0 (pad taps with zeros otherwise): the round-1
-restriction 2D % 8 == 0 (which excluded D in {1, 2}) is gone — the
-alignment unit is now R*2D.
+Any T works (T % D != 0 trailing-zero-pads the taps, round 4); the
+round-1 restriction 2D % 8 == 0 (which excluded D in {1, 2}) is gone —
+the alignment unit is now R*2D.
 """
 
 import functools
@@ -37,6 +37,7 @@ from gsdr_tpu.kernels.fm_chain_pallas import (
     _n_coarse_of,
     _n_xq_parts,
     _pad_bank,
+    _pad_taps,
     _pick_bn_padded,
     _split_g,
     _stack_geometry,
@@ -47,8 +48,8 @@ from gsdr_tpu.kernels.fm_chain_pallas import (
 
 
 def pallas_supported(decimation, num_taps, num_channels=1):
-    """True when the stacked kernel covers this filter shape: T % D == 0
-    (and the tap window fits the 128-coarse-column halo)."""
+    """True when the stacked kernel covers this filter shape: the taps
+    (zero-padded to a D multiple) must fit the 128-coarse-column halo."""
     return _stack_geometry(int(num_channels), int(num_taps),
                            int(decimation), _LANE * 8, pad_m=True) is not None
 
@@ -120,7 +121,8 @@ def mix_fir_decimate_bank_pallas(x, kernel, decimation, block_n=4096,
     c_cnt = k2c // 2
     d = int(decimation)
     n = x.shape[-1]
-    m = (n - t) // d + 1
+    m = (n - t) // d + 1    # output count from the REAL tap span
+    kh = _pad_taps(kh, d)   # T % D != 0: output-identical zero taps
     geom = _stack_geometry(c_cnt, t, d, m, pad_m=True)
     if geom is None:
         raise ValueError(f"unsupported (D={d}, T={t}) for pallas kernel")

@@ -136,8 +136,11 @@ def _stack_geometry(c_cnt, t, d, m, pad_m=False, r_override=None):
     MXU-bound geometries (large C) can win with a smaller R than the
     full-lane W-build optimum (measurement hook + tuned-geometry knob).
     """
-    if t % d != 0:
-        return None
+    # T % D != 0 runs via trailing-zero tap padding (round 4): the plan
+    # builders pad the bank to a D multiple (output-identical — the extra
+    # taps are exact zeros), matching the reference's any-T contract
+    # (/root/reference/include/gsdr/fir.h:30-68).
+    t = -(-t // d) * d
     c_eff = -(-c_cnt // _SUB) * _SUB
     if r_override is not None:
         r = int(r_override)
@@ -175,10 +178,11 @@ def _stack_geometry(c_cnt, t, d, m, pad_m=False, r_override=None):
 
 def fused_chain_supported(decimation, num_taps, m_out, num_channels=16,
                           pad_m=True):
-    """True when the fused single-kernel chain can run this shape:
-    T % D == 0 and the taps fit the 128-coarse-column halo window. With
-    the default pad-and-mask (round 3) any M works; pad_m=False restores
-    the old exact M % (R*128) == 0 requirement."""
+    """True when the fused single-kernel chain can run this shape: the
+    taps (zero-padded up to a D multiple, round 4 — any T works) must fit
+    the 128-coarse-column halo window. With the default pad-and-mask
+    (round 3) any M works; pad_m=False restores the old exact
+    M % (R*128) == 0 requirement."""
     return _stack_geometry(int(num_channels), int(num_taps),
                            int(decimation), int(m_out),
                            pad_m=pad_m) is not None
@@ -458,6 +462,23 @@ def _run_am(xq, gh, gl, *, block_n, groups, rows, c_eff, r_stack, f32_dot,
     )(*xq_parts, *xq_parts, gh, gl)
 
 
+def _pad_taps(kernel_np, d):
+    """Trailing-zero-pad a (2C, 2, T) bank's taps to a multiple of D.
+
+    Output-identical: the extra taps are exact zeros, so each window only
+    grows past its real span into samples multiplied by 0.0 (and the xq
+    prep already zero-pads the buffer, so the widest window's extra reads
+    are in-bounds). Closes the T % D != 0 fused-dispatch cliff — the
+    reference accepts any T (/root/reference/include/gsdr/fir.h:30-68)."""
+    t = kernel_np.shape[-1]
+    t_pad = -(-t // int(d)) * int(d)
+    if t_pad == t:
+        return kernel_np
+    out = np.zeros(kernel_np.shape[:-1] + (t_pad,), kernel_np.dtype)
+    out[..., :t] = kernel_np
+    return out
+
+
 def _pad_bank(kernel_np, c_eff):
     """Pad a (2C, 2, T) bank with zero-tap channels up to (2*c_eff, 2, T)."""
     k2c, two, t = kernel_np.shape
@@ -514,7 +535,8 @@ def am_chain_plan(kernel_bank, decimation, n_buf, block_n=4096,
     k2c, _, t = kh.shape
     c_cnt = k2c // 2
     d = int(decimation)
-    m = (int(n_buf) - t) // d + 1
+    m = (int(n_buf) - t) // d + 1   # output count from the REAL tap span
+    kh = _pad_taps(kh, d)           # T % D != 0: output-identical zero taps
     geom = _stack_geometry(c_cnt, t, d, m, pad_m=True, r_override=r_stack)
     if geom is None:
         raise ValueError(f"unsupported (D={d}, T={t}, M={m}) for fused chain")
@@ -951,9 +973,11 @@ def fm_chain_plan(kernel_bank, decimation, gain, deemph_b, deemph_a,
                   r_stack=None):
     """Build the host-side plan for a tail-prepended buffer of n_buf samples.
 
-    Raises ValueError when the shape cannot run fused (T % D != 0, or the
-    taps outrun the 128-coarse-column halo window). M is padded up to the
-    R*128 grid and masked (round 3) — any output count works.
+    Raises ValueError when the shape cannot run fused (the taps, padded to
+    a D multiple, outrun the 128-coarse-column halo window). M is padded
+    up to the R*128 grid and masked (round 3) — any output count works —
+    and T % D != 0 pads the taps with trailing zeros (round 4) — any tap
+    count works.
 
     ``r_stack``: override the stacking factor (see _stack_geometry).
     """
@@ -961,7 +985,8 @@ def fm_chain_plan(kernel_bank, decimation, gain, deemph_b, deemph_a,
     k2c, _, t = kh.shape
     c_cnt = k2c // 2
     d = int(decimation)
-    m = (int(n_buf) - t) // d + 1
+    m = (int(n_buf) - t) // d + 1   # output count from the REAL tap span
+    kh = _pad_taps(kh, d)           # T % D != 0: output-identical zero taps
     geom = _stack_geometry(c_cnt, t, d, m, pad_m=True, r_override=r_stack)
     if geom is None:
         raise ValueError(

@@ -35,6 +35,11 @@ class TestChannelizePallas:
         # round-2: D in {1, 2} (the old layout required 2D % 8 == 0)
         (3000, 64, 1, [10_000.0, -7_000.0]),
         (3000, 32, 2, [50_000.0]),
+        # round-4: T % D != 0 (trailing-zero tap pad, output-identical;
+        # reference accepts any T, include/gsdr/fir.h:30-68)
+        (5000, 65, 4, [12_345.0, -5_000.0]),
+        (3000, 30, 8, [1_000.0]),
+        (2000, 7, 3, [44_100.0, 0.0]),
     ])
     def test_matches_xla_conv(self, n, t, d, shifts):
         assert pallas_supported(d, t)
@@ -63,14 +68,18 @@ class TestChannelizePallas:
         assert err < 3e-4, (xq_mode, err)
 
     def test_unsupported_configs_rejected(self):
-        assert not pallas_supported(3, 64)   # T % D != 0
+        # round-4: T % D != 0 pads taps and IS supported now
+        assert pallas_supported(3, 64)
         # round-2 stacked layout: D in {1, 2} ARE supported now
         assert pallas_supported(2, 64)
         assert pallas_supported(1, 64)
-        x = _planar(1000)
-        kernel = make_complex_tap_bank(np.ones(8, np.float32), [0.0], FS)
+        # genuinely unfusable: taps outrun the 128-coarse-column halo
+        assert not pallas_supported(1, 40_000)
+        x = _planar(50_000)
+        kernel = make_complex_tap_bank(np.ones(40_000, np.float32), [0.0],
+                                       FS)
         with pytest.raises(ValueError):
-            mix_fir_decimate_bank_pallas(x, kernel, 3, interpret=True)
+            mix_fir_decimate_bank_pallas(x, kernel, 1, interpret=True)
 
     def test_impl_pallas_dispatch(self):
         """ops.channelize impl='pallas' routes through the kernel."""
@@ -86,7 +95,7 @@ class TestChannelizePallas:
 
 
 class TestFusedFmChain:
-    def _models(self, nch=4, decimation=4):
+    def _models(self, nch=4, decimation=4, nt=64):
         from gsdr_tpu.pipelines import FmChannelizer
 
         def lowpass(nt, cf):
@@ -99,7 +108,7 @@ class TestFusedFmChain:
             channel_frequencies=tuple(
                 100_000.0 + 61_000.0 * i for i in range(nch)),
             frequency_deviation=75_000.0, decimation=decimation,
-            low_pass_taps=lowpass(64, min(0.04, 0.4 / decimation)),
+            low_pass_taps=lowpass(nt, min(0.04, 0.4 / decimation)),
         )
         import dataclasses as dc
         return m, dc.replace(m, impl="pallas")
@@ -191,6 +200,23 @@ class TestFusedFmChain:
             assert np.max(
                 np.abs(y_x[:, skip:] - y_p[:, skip:])) / scale < 2e-3, \
                 (decimation, blk)
+
+    def test_odd_tap_count_fused(self):
+        """Round-4 gap closure: T % D != 0 runs fused via trailing-zero
+        tap padding (output-identical) with exact streaming-state
+        continuation — the reference accepts any tap count
+        (include/gsdr/fir.h:30-68)."""
+        m_xla, m_pal = self._models(nch=4, decimation=4, nt=65)
+        rf = self._fm_rf(m_xla, 8192)
+        st_x, st_p = m_xla.init(), m_pal.init()
+        for blk, skip in ((0, 256), (1, 0)):
+            part = rf[..., blk * 4096:(blk + 1) * 4096]
+            st_x, y_x = m_xla.step(st_x, part)
+            st_p, y_p = m_pal.step(st_p, part)
+            y_x, y_p = np.asarray(y_x), np.asarray(y_p)
+            scale = np.max(np.abs(y_x))
+            assert np.max(
+                np.abs(y_x[:, skip:] - y_p[:, skip:])) / scale < 2e-3, blk
 
     def test_n_sub_split_parity(self):
         """The intra-step overlap split (n_sub sub-blocks, all window dots
@@ -392,6 +418,30 @@ class TestFusedAmChain:
             assert err < 2e-3, (blk, err)
         # envelope is magnitude-only, so unlike FM there is no branch-cut
         # sensitivity and noise input is a fair comparison
+
+    def test_odd_tap_count_fused(self):
+        """Round-4: T % D != 0 runs the fused AM chain (trailing-zero tap
+        pad; the AM chain is stateless past the window so only the
+        envelope needs to match)."""
+        import dataclasses as dc
+        from gsdr_tpu.pipelines import AmReceiver
+
+        def lowpass(nt, cf):
+            n = np.arange(nt) - (nt - 1) / 2.0
+            h = np.sinc(2 * cf * n) * np.hamming(nt)
+            return tuple((h / h.sum()).astype(np.float32).tolist())
+
+        m = AmReceiver(sample_rate=FS, tuning_frequency=0.0,
+                       channel_frequencies=(120_000.0, -50_000.0),
+                       decimation=4, low_pass_taps=lowpass(65, 0.04))
+        mp = dc.replace(m, impl="pallas")
+        z = 0.3 * (RNG.standard_normal(4096)
+                   + 1j * RNG.standard_normal(4096))
+        rf = ComplexArray.from_complex(z.astype(np.complex64))
+        _, y1 = m.step(m.init(), rf)
+        _, y2 = mp.step(mp.init(), rf)
+        assert np.asarray(y1).shape == np.asarray(y2).shape
+        assert np.max(np.abs(np.asarray(y1) - np.asarray(y2))) < 2e-3
 
     def test_n_sub_split_parity(self):
         """The AM kernel's overlap split must be bit-identical to the

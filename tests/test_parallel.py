@@ -209,7 +209,7 @@ class TestShardedFusedChains:
     slower XLA chain). interpret mode on the CPU mesh; audio and the
     full carried-state pytree must match the single-chip fused step."""
 
-    def _fm_model(self, nch, impl):
+    def _fm_model(self, nch, impl, nt=32):
         def lp(t, c):
             n = np.arange(t) - (t - 1) / 2.0
             h = np.sinc(2 * c * n) * np.hamming(t)
@@ -220,7 +220,7 @@ class TestShardedFusedChains:
             channel_frequencies=tuple(
                 100_000.0 + 37_000.0 * i for i in range(nch)),
             frequency_deviation=75_000.0, decimation=4,
-            low_pass_taps=lp(32, 0.04), impl=impl)
+            low_pass_taps=lp(nt, 0.04), impl=impl)
 
     @pytest.mark.parametrize("mesh_shape", [(2, 2), (1, 4), (4, 1)])
     def test_fused_fm_matches_single_chip_fused(self, mesh_shape):
@@ -248,6 +248,26 @@ class TestShardedFusedChains:
         np.testing.assert_allclose(
             np.asarray(st_shard[3]), np.asarray(st_single[3]), atol=5e-5)
         assert int(st_shard[0]) == int(st_single[0])
+
+    def test_fused_fm_odd_taps_sharded(self):
+        """Round-4: T % D != 0 (T=65, D=4) runs fused per shard via the
+        trailing-zero tap pad — the parallel dispatch warning is
+        unreachable for tap-count reasons now (reference accepts any T,
+        include/gsdr/fir.h:30-68)."""
+        model = self._fm_model(nch=4, impl="pallas", nt=65)
+        mesh = make_mesh(channel=2, time=4)
+        step = make_sharded_fm_step(model, mesh)
+        rf = _fm_rf(model.channel_frequencies, 4096)
+        st_single, st_shard = model.init(), model.init()
+        for _ in range(2):
+            st_single, y_single = model.step(st_single, rf)
+            st_shard, y_shard = step(st_shard, rf)
+        np.testing.assert_allclose(
+            np.asarray(y_shard), np.asarray(y_single), rtol=2e-4, atol=2e-5)
+        np.testing.assert_allclose(
+            st_shard[1].to_numpy(), st_single[1].to_numpy(), atol=1e-6)
+        np.testing.assert_allclose(
+            st_shard[2].to_numpy(), st_single[2].to_numpy(), atol=5e-5)
 
     def test_fused_fm_interchangeable_with_xla_sharded(self):
         """A stream may switch between the fused and XLA sharded steps
