@@ -213,6 +213,44 @@ def check_fm():
     return ok
 
 
+def check_pfb_fm():
+    """Round-4 PFB-fronted fused chain vs the XLA chain on HW: the fold's
+    pltpu.roll/select windows and the DFT-bank dot have no interpret-mode
+    guarantee (lane-offset concats PASSED interpret and crashed the HW
+    compiler this round)."""
+    import dataclasses as dc
+
+    from gsdr_tpu.pipelines import FmChannelizer
+
+    def lowpass(nt, cf):
+        n = np.arange(nt) - (nt - 1) / 2.0
+        h = np.sinc(2 * cf * n) * np.hamming(nt)
+        return tuple((h / h.sum()).astype(np.float32).tolist())
+
+    fs = 1_024_000.0
+    k = 16
+    m = FmChannelizer(
+        sample_rate=fs, tuning_frequency=0.0,
+        channel_frequencies=tuple(-fs / 2 + (fs / k) * i for i in range(k)),
+        frequency_deviation=75_000.0, decimation=4,
+        low_pass_taps=lowpass(128, 0.4 / k), impl="xla")
+    mp = dc.replace(m, impl="pfb")
+    n = 16384
+    tt = np.arange(n) / fs
+    sig = np.zeros(n, np.complex128)
+    for c, f in enumerate(m.channel_frequencies):
+        msg = np.sin(2 * np.pi * (500.0 + 37.0 * c) * tt)
+        sig += 0.03 * np.exp(1j * (2 * np.pi * f * tt + 0.3 * msg))
+    rf = ComplexArray(jnp.asarray(sig.real, jnp.float32),
+                      jnp.asarray(sig.imag, jnp.float32))
+    _, y1 = m.step(m.init(), rf)
+    _, y2 = mp.step(mp.init(), rf)
+    y1, y2 = np.asarray(y1), np.asarray(y2)
+    err = float(np.max(np.abs(y1[:, 256:] - y2[:, 256:]))
+                / np.max(np.abs(y1)))
+    return _report("pfb_fm_fused_16ch_d4_t128", err, 2e-3)
+
+
 def check_iir():
     from gsdr_tpu.ops.iir import iir_block
 
@@ -250,6 +288,7 @@ def main():
     ok &= check_channelizer()
     ok &= check_am()
     ok &= check_fm()
+    ok &= check_pfb_fm()
     ok &= check_iir()
     ok &= check_qpsk256()
     print(json.dumps({"all_ok": bool(ok)}), flush=True)

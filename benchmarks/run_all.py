@@ -144,6 +144,25 @@ def bench_pfb(n, iters, k=16, impl="xla"):
             "value": round(n / sec / 1e6, 2), "unit": "Msamples/s"}
 
 
+def bench_fm_wideband(n, iters, impl="pfb"):
+    """Round-4 wideband uniform-grid FM chain: 64 channels on the Fs/64
+    grid, critically decimated (D=64), 512-tap prototype (Q=8) — the
+    realistic many-channel receiver shape where the PFB front's fold
+    amortizes the filter over the grid. impl='pfb' runs the PFB-fronted
+    fused kernel; impl='pallas' the dense Toeplitz fused kernel on the
+    SAME config (the A/B partner; benchmarks/pfb_ab.py has the ladder)."""
+    k = 64
+    model = FmChannelizer(
+        sample_rate=1e6, tuning_frequency=0.0,
+        channel_frequencies=tuple(-(1e6 / k) * i for i in range(k)),
+        frequency_deviation=75_000.0, decimation=k,
+        low_pass_taps=_lowpass(512, 0.4 / k), impl=impl)
+    rf = _noise(n)
+    sec = time_step(model.step, model.init(), rf, iters=iters * 20)
+    return {"metric": f"fm_wideband_64ch_crit_{impl}_input_msps",
+            "value": round(n / sec / 1e6, 2), "unit": "Msamples/s"}
+
+
 def bench_qpsk(n, iters):
     """Config 4: QPSK mod/demod loopback."""
     modem = QpskModem()
@@ -249,6 +268,8 @@ def main(argv=None):
         lambda: bench_fm(n, iters, impl="pallas", nch=64),
         lambda: bench_pfb(n, iters, impl="xla"),
         lambda: bench_pfb(n, iters, impl="pallas"),
+        lambda: bench_fm_wideband(n, iters, impl="pfb"),
+        lambda: bench_fm_wideband(n, iters, impl="pallas"),
         lambda: bench_qpsk(n, iters),
         lambda: bench_qpsk256(min(n, 1 << 19), iters),
         lambda: bench_qpsk256(min(n, 1 << 19), iters, ctype=1),  # CIRC rings

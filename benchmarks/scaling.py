@@ -155,31 +155,47 @@ def comm_volume_audit():
 
 
 def hw_overhead():
-    """(a): 1x1-mesh sharded fused step vs unsharded, on the real chip."""
+    """(a): 1x1-mesh sharded fused steps vs unsharded, on the real chip —
+    FM and (round 4) AM."""
     from gsdr_tpu.carray import ComplexArray
-    from gsdr_tpu.parallel import make_mesh, make_sharded_fm_step
+    from gsdr_tpu.parallel import (
+        make_mesh,
+        make_sharded_am_step,
+        make_sharded_fm_step,
+    )
+    from gsdr_tpu.pipelines import AmReceiver
     from gsdr_tpu.utils.timing import time_step
 
     n = 1 << 20
-    model = _model(nch=16, taps=64, dec=4, impl="pallas")
     mesh = make_mesh(channel=1, time=1, devices=jax.devices()[:1])
-    sharded = make_sharded_fm_step(model, mesh)
     rng = np.random.default_rng(0)
     rf = ComplexArray(
         jnp.asarray(rng.standard_normal(n), jnp.float32),
         jnp.asarray(rng.standard_normal(n), jnp.float32))
-    sec_plain = min(time_step(model.step, model.init(), rf, iters=200,
-                              reps=5) for _ in range(2))
-    sec_shard = min(time_step(sharded, model.init(), rf, iters=200,
-                              reps=5) for _ in range(2))
-    row = {
-        "metric": "shardmap_1x1_overhead",
-        "unsharded_msps": round(n / sec_plain / 1e6, 1),
-        "sharded_1x1_msps": round(n / sec_shard / 1e6, 1),
-        "overhead_pct": round((sec_shard / sec_plain - 1.0) * 100, 1),
-    }
-    print(json.dumps(row), flush=True)
-    return row
+
+    rows = []
+    fm = _model(nch=16, taps=64, dec=4, impl="pallas")
+    am = AmReceiver(
+        sample_rate=1_000_000.0, tuning_frequency=0.0,
+        channel_frequencies=tuple(
+            -480_000.0 + 60_000.0 * i for i in range(16)),
+        decimation=4, low_pass_taps=_lowpass(64, 0.03), impl="pallas")
+    for name, model, make in (("fm", fm, make_sharded_fm_step),
+                              ("am", am, make_sharded_am_step)):
+        sharded = make(model, mesh)
+        sec_plain = min(time_step(model.step, model.init(), rf, iters=200,
+                                  reps=5) for _ in range(2))
+        sec_shard = min(time_step(sharded, model.init(), rf, iters=200,
+                                  reps=5) for _ in range(2))
+        row = {
+            "metric": f"shardmap_1x1_overhead_{name}",
+            "unsharded_msps": round(n / sec_plain / 1e6, 1),
+            "sharded_1x1_msps": round(n / sec_shard / 1e6, 1),
+            "overhead_pct": round((sec_shard / sec_plain - 1.0) * 100, 1),
+        }
+        rows.append(row)
+        print(json.dumps(row), flush=True)
+    return rows
 
 
 def main(argv=None):

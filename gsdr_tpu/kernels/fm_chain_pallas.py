@@ -322,6 +322,99 @@ def _split_g(g, precision):
 _NT_DIMS = (((1,), (1,)), ((), ()))  # contract lhs dim1 x rhs dim1 (A @ B^T)
 
 
+def _nt_grade_dot(w, gh_ref, gl_ref, f32_dot):
+    """bf16x3 / bf16x2 / f32-HIGHEST NT contraction of a VMEM window value
+    ``w`` (bn, K) with the hi/lo-split tap matrix — the precision-grade arm
+    of _window_dot, shared with the PFB fold front (round 4)."""
+    if f32_dot == "f32":
+        return jax.lax.dot_general(
+            gh_ref[:, :], w, _NT_DIMS,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)
+
+    def dot(a, b):
+        return jax.lax.dot_general(
+            a, b, _NT_DIMS, preferred_element_type=jnp.float32)
+
+    wh = w.astype(jnp.bfloat16)
+    y = dot(gh_ref[:, :], wh)
+    y += dot(gl_ref[:, :], wh)
+    if f32_dot == "bf16x3":
+        wl = (w - wh.astype(jnp.float32)).astype(jnp.bfloat16)
+        y += dot(gh_ref[:, :], wl)
+    return y
+
+
+def _pfb_fold_dot(vr, vi, hp_ref, gh_ref, gl_ref, w_ref, bs, q_fold, kg, d,
+                  p_cnt, f32_dot, col_off=0):
+    """PFB front (round 4): polyphase fold + one DFT-bank NT dot per output
+    phase p, replacing the Toeplitz window copies + G' contraction.
+
+    For channels on the uniform grid f_c = g_c*Fs/K (K = ``kg``), output
+    j = J*p_cnt + p of channel c is
+
+        y[c, j] = rotor * sum_v e^{2i pi g_c v/K} A_p[J, v],
+        A_p[J, v] = sum_u hp[v, u] * x[(J+u)*K + p*D + v]      (fold)
+
+    with hp[v, u] = h[v + K*u] the (K, Q) polyphase tap matrix. ``vr``/
+    ``vi`` are the nt-mode window sources (n_rows, K) — the SAME layout the
+    Toeplitz front uses (R*D = P*D = K coarse columns). The fold is Q
+    fma'd row-shifted slices per plane (lane-rolled by p*D, with the
+    wrapped lanes from the NEXT row); the contraction is an NT dot against
+    the (2C, 2K) DFT-bank matrix — K is exact (no Toeplitz zero-padding:
+    the structural 2x FLOP overhead of the dense stacked form is gone) and
+    the tap length enters only through the Q fold passes, so long
+    prototype filters (T = Q*K, the realistic wideband-channelizer case)
+    cost Q VPU fmas instead of Q*K MXU columns.
+
+    Returns the list of per-p (2C, bs) products, r-major compatible with
+    the Toeplitz front's stacked y (r <-> p).
+    """
+    span = bs + q_fold                    # rows covering all fold taps
+    lane = jax.lax.broadcasted_iota(jnp.int32, (span, kg), 1)
+    for p in range(p_cnt):
+        off = p * d
+
+        def _rolled(v, off=off):
+            # The phase-p window source: lanes rotate by p*D with the
+            # wrapped lanes taken from the NEXT row — rolled ONCE per p
+            # over the whole (bs + Q)-row span, then the fold uses plain
+            # row slices. (Per-tap lane-offset slice concats crash the
+            # Mosaic compiler at these shapes — round 4 — and per-tap
+            # rolls measured 641 vs 381 us at P=4/Q=8: the roll, not the
+            # fma, is the expensive op.)
+            cur = v[col_off:col_off + span, :]
+            if off == 0:
+                return cur
+            nxt = v[col_off + 1:col_off + 1 + span, :]
+            return jnp.where(lane < kg - off,
+                             pltpu.roll(cur, kg - off, axis=1),
+                             pltpu.roll(nxt, kg - off, axis=1))
+
+        rp_re = _rolled(vr)
+        rp_im = _rolled(vi)
+        a_re = None
+        a_im = None
+        for u in range(q_fold):
+            h_u = hp_ref[u:u + 1, :]          # (1, K) lane-wise tap row
+            a_re = (rp_re[u:u + bs, :] * h_u if a_re is None
+                    else a_re + rp_re[u:u + bs, :] * h_u)
+            a_im = (rp_im[u:u + bs, :] * h_u if a_im is None
+                    else a_im + rp_im[u:u + bs, :] * h_u)
+        # All P folds stage into ONE (P*bs, 2K) scratch so the whole
+        # sub-block contracts as a single batched NT dot (N = P*bs) —
+        # one MXU launch instead of P, and the per-p y values never
+        # coexist (P=16 at bn=1024/n_sub=8 ran out of VMEM as separate
+        # values, crashing the remote compiler)
+        if w_ref.dtype == jnp.bfloat16:
+            a_re = a_re.astype(jnp.bfloat16)
+            a_im = a_im.astype(jnp.bfloat16)
+        w_ref[p * bs:(p + 1) * bs, :kg] = a_re
+        w_ref[p * bs:(p + 1) * bs, kg:] = a_im
+    y_all = _nt_grade_dot(w_ref[:, :], gh_ref, gl_ref, f32_dot)
+    return [y_all[:, p * bs:(p + 1) * bs] for p in range(p_cnt)]
+
+
 def _window_dot(v, gh_ref, gl_ref, w_ref, bn, groups, rows, f32_dot,
                 nt=False, col_off=0):
     """Contract the stacked tap bank with ``groups`` full-height shifted
@@ -479,6 +572,39 @@ def _pad_taps(kernel_np, d):
     return out
 
 
+def _dft_bank_stacked(grid_bins, k, c_eff):
+    """(2*c_eff, 2K) DFT-bank matrix for the PFB front, planes-major rows
+    like _g_matrix_stacked's row groups: rows [0, c_eff) produce the re
+    planes, [c_eff, 2*c_eff) the im planes, from A^T = [a_re | a_im]:
+
+      y_re[c] = sum_v cos(2 pi g_c v / K) a_re[v] - sin(...) a_im[v]
+      y_im[c] = sum_v sin(2 pi g_c v / K) a_re[v] + cos(...) a_im[v]
+
+    The +sin sign matches make_complex_tap_bank's e^{+2i pi f_c t / Fs}
+    with f_c = g_c Fs / K (ops/channelize.py:39-66); angles are exact
+    integer fractions (float64 cos/sin)."""
+    g = np.zeros((2 * c_eff, 2 * k), np.float64)
+    v = np.arange(k)
+    for c, gc in enumerate(grid_bins):
+        ang = 2.0 * np.pi * ((int(gc) * v) % k) / k
+        wr, wi = np.cos(ang), np.sin(ang)
+        g[c, :k] = wr
+        g[c, k:] = -wi
+        g[c_eff + c, :k] = wi
+        g[c_eff + c, k:] = wr
+    return g.astype(np.float32)
+
+
+def _poly_taps(taps, k):
+    """(Q, K) polyphase tap matrix hp[u, v] = h[v + K u], zero-padded.
+    Row-major in u so the kernel reads hp_ref[u:u+1, :] as a lane row."""
+    taps_np = np.asarray(taps, np.float64)
+    q = -(-len(taps_np) // int(k))
+    padded = np.zeros(q * int(k))
+    padded[:len(taps_np)] = taps_np
+    return padded.reshape(q, int(k)).astype(np.float32)
+
+
 def _pad_bank(kernel_np, c_eff):
     """Pad a (2C, 2, T) bank with zero-tap channels up to (2*c_eff, 2, T)."""
     k2c, two, t = kernel_np.shape
@@ -608,14 +734,20 @@ def am_chain_pallas(buf, kernel_bank, decimation, block_n=4096,
 def _fm_chain_kernel(*refs,
                      groups, rows, c_eff, r_stack, gain, b0, cc, a_pole,
                      spow, f32_dot, xq_mode, last_i, last_col, last_r,
-                     n_sub=1, ablate="full"):
+                     n_sub=1, dot_ahead=None, ablate="full",
+                     front="toeplitz", q_fold=0, k_grid=0, d=0):
     nx = _n_xq_parts(xq_mode)
     xq_refs, halo_refs = refs[:nx], refs[nx:2 * nx]
+    base = 2 * nx
+    hp_ref = None
+    if front == "pfb":
+        hp_ref = refs[base]
+        base += 1
     (gh_ref, gl_ref, base_ref, bt_ref, pj_ref, jpow_ref,
      fcar0_ref, zcar0_ref, audio_ref, fcar_ref, zcar_ref) = \
-        refs[2 * nx:2 * nx + 11]
-    w_refs = refs[2 * nx + 11:2 * nx + 11 + n_sub]
-    carry_ref = refs[2 * nx + 11 + n_sub]
+        refs[base:base + 11]
+    w_refs = refs[base + 11:base + 11 + n_sub]
+    carry_ref = refs[base + 11 + n_sub]
     bn = audio_ref.shape[1]
     bs = bn // n_sub
     i = pl.program_id(0)
@@ -643,20 +775,51 @@ def _fm_chain_kernel(*refs,
 
     # ---- 1) stacked windows + tap-bank contraction -----------------------
     # MXU phase: with n_sub > 1 the block's columns split into n_sub
-    # sub-blocks and ALL window dots are issued before any VPU stage runs
-    # (round 3 overlap mechanism): dot s+1 has no data dependence on the
-    # rotor/disc/de-emphasis of sub-block s, so the scheduler can keep the
-    # MXU busy under the VPU stages instead of serializing stage-by-stage.
-    # Each sub-block gets its OWN W scratch — disjoint refs, no false
-    # store->load ordering between sub-blocks.
-    v = _build_v(xq_refs, halo_refs, xq_mode)
-    nt = xq_mode == "nt"
-    ys = [
-        _window_dot(v, gh_ref, gl_ref, w_refs[s], bs, groups, rows,
-                    f32_dot, nt=nt, col_off=s * bs)
-        for s in range(n_sub)
-    ]
+    # sub-blocks; sub-block dots have no data dependence on the
+    # rotor/disc/de-emphasis of other sub-blocks, so the scheduler can
+    # keep the MXU busy under the VPU stages instead of serializing
+    # stage-by-stage (round 3 overlap mechanism). Each sub-block gets its
+    # OWN W scratch — disjoint refs, no false store->load ordering.
+    #
+    # dot_ahead (round 4): with None every dot issues before any VPU
+    # stage — which serializes the whole MXU phase (incl. its VPU-side
+    # W'^T builds) in front of the whole VPU phase, because Mosaic
+    # schedules mostly in program order (measured e2e ~= dot-stage + VPU
+    # stages). dot_ahead=k instead issues builds+dots for sub-blocks
+    # 0..k-1 up front, then interleaves: [VPU stage s] next to
+    # [build+dot s+k] — the stage and the NEXT dot are adjacent in
+    # program order, so the MXU dot runs under the VPU stage and only
+    # the W builds and stages share the VPU.
+    if front == "pfb":
+        # the fold rolls lanes WITHIN each plane, so keep the planes
+        # separate (vs _build_v's lane-concat) — row-concat the halo only
+        (xr, xi), (hr, hi) = xq_refs, halo_refs
+        vr = jnp.concatenate([xr[:, :], hr[:, :]], axis=0)
+        vi = jnp.concatenate([xi[:, :], hi[:, :]], axis=0)
+
+        def _issue(s):
+            # per-p (2C_eff, bs) pieces kept UNconcatenated: a single
+            # (P*2C, bs) value concat crashes Mosaic at these shapes
+            # (the round-2 W'-as-one-value crash class)
+            return _pfb_fold_dot(vr, vi, hp_ref, gh_ref, gl_ref,
+                                 w_refs[s], bs, q_fold, k_grid, d,
+                                 r_stack, f32_dot, col_off=s * bs)
+    else:
+        v = _build_v(xq_refs, halo_refs, xq_mode)
+        nt = xq_mode == "nt"
+
+        def _issue(s):
+            return _window_dot(v, gh_ref, gl_ref, w_refs[s], bs, groups,
+                               rows, f32_dot, nt=nt, col_off=s * bs)
+
+    la = n_sub if (dot_ahead is None or ablate == "dot") else int(dot_ahead)
+    ys = [None] * n_sub
+    for s in range(min(la, n_sub)):
+        ys[s] = _issue(s)
     if ablate == "dot":
+        if front == "pfb":
+            raise NotImplementedError(
+                "ablate='dot' is a Toeplitz-front measurement hook")
         return _early_out(
             [jnp.concatenate(ys, axis=1) if n_sub > 1 else ys[0]])
 
@@ -676,6 +839,8 @@ def _fm_chain_kernel(*refs,
     cut = []   # per-sub stage outputs when an ablate cut is requested
     from gsdr_tpu.kernels.kmath import atan2_poly
     for s in range(n_sub):
+        if s + la < n_sub:
+            ys[s + la] = _issue(s + la)   # dot s+la overlaps VPU stage s
         y = ys[s]
         sl = slice(s * bs, (s + 1) * bs)
 
@@ -684,8 +849,12 @@ def _fm_chain_kernel(*refs,
         f_ims = []
         for r in range(r_stack):
             row0 = r * 2 * c_eff
-            y_re = y[row0:row0 + c_eff, :]
-            y_im = y[row0 + c_eff:row0 + 2 * c_eff, :]
+            if front == "pfb":   # per-p pieces, not one stacked y
+                y_re = y[r][:c_eff, :]
+                y_im = y[r][c_eff:, :]
+            else:
+                y_re = y[row0:row0 + c_eff, :]
+                y_im = y[row0 + c_eff:row0 + 2 * c_eff, :]
             pj_re = pj_ref[row0:row0 + c_eff, sl]
             pj_im = pj_ref[row0 + c_eff:row0 + 2 * c_eff, sl]
             lo_re = b_re * pj_re - b_im * pj_im
@@ -807,11 +976,13 @@ def _fm_chain_kernel(*refs,
     jax.jit,
     static_argnames=("block_n", "groups", "rows", "c_eff", "r_stack",
                      "gain", "b0", "cc", "a1", "f32_dot", "interpret",
-                     "ablate", "xq_mode", "m_real", "n_sub"))
-def _run_chain(base, xq, gh, gl, bt, pj, fcar0, zcar0, *,
+                     "ablate", "xq_mode", "m_real", "n_sub", "dot_ahead",
+                     "front", "q_fold", "k_grid", "d_stat"))
+def _run_chain(base, xq, gh, gl, bt, pj, fcar0, zcar0, hp=None, *,
                block_n, groups, rows, c_eff, r_stack, gain, b0, cc, a1,
                f32_dot, interpret, ablate="full", xq_mode="flat",
-               m_real=None, n_sub=1):
+               m_real=None, n_sub=1, dot_ahead=None,
+               front="toeplitz", q_fold=0, k_grid=0, d_stat=0):
     xq_parts = xq if isinstance(xq, tuple) else (xq,)
     n_coarse_total = _n_coarse_of(xq_parts[0], xq_mode)
     k_rows = gh.shape[1]
@@ -834,7 +1005,8 @@ def _run_chain(base, xq, gh, gl, bt, pj, fcar0, zcar0, *,
         _fm_chain_kernel, groups=groups, rows=rows, c_eff=c_eff,
         r_stack=r_stack, gain=gain, b0=b0, cc=cc, a_pole=a,
         spow=spow, f32_dot=f32_dot, xq_mode=xq_mode, ablate=ablate,
-        n_sub=n_sub,
+        n_sub=n_sub, dot_ahead=dot_ahead,
+        front=front, q_fold=q_fold, k_grid=k_grid, d=d_stat,
         last_i=(j_last // r_stack) // bn,
         last_col=(j_last // r_stack) % bn,
         last_r=j_last % r_stack)
@@ -846,12 +1018,21 @@ def _run_chain(base, xq, gh, gl, bt, pj, fcar0, zcar0, *,
     vm = pltpu.VMEM
     xq_specs, halo_specs = _xq_specs(xq_mode, rows, bn)
     bs = bn // n_sub
-    w_shape = (bs, k_rows) if xq_mode == "nt" else (k_rows, bs)
+    if front == "pfb":
+        # A^T scratch: all P phase folds of a sub-block, contracted as
+        # ONE batched NT dot (see _pfb_fold_dot)
+        w_shape = (r_stack * bs, k_rows)
+        hp_specs = [pl.BlockSpec(hp.shape, lambda i: (0, 0),
+                                 memory_space=vm)]
+        hp_args = [hp]
+    else:
+        w_shape = (bs, k_rows) if xq_mode == "nt" else (k_rows, bs)
+        hp_specs, hp_args = [], []
     w_dtype = jnp.bfloat16 if f32_dot == "bf16x2" else jnp.float32
     return pl.pallas_call(
         kernel,
         grid=(n_blk,),
-        in_specs=list(xq_specs) + list(halo_specs) + [
+        in_specs=list(xq_specs) + list(halo_specs) + hp_specs + [
             pl.BlockSpec(gh.shape, lambda i: (0, 0), memory_space=vm),
             pl.BlockSpec(gl.shape, lambda i: (0, 0), memory_space=vm),
             pl.BlockSpec((c_eff, 2), lambda i: (0, 0), memory_space=vm),
@@ -879,7 +1060,7 @@ def _run_chain(base, xq, gh, gl, bt, pj, fcar0, zcar0, *,
             + [pltpu.VMEM((c_eff, 8), jnp.float32)]
         ),
         interpret=interpret,
-    )(*xq_parts, *xq_parts, gh, gl, base, bt, pj,
+    )(*xq_parts, *xq_parts, *hp_args, gh, gl, base, bt, pj,
       jnp.asarray(jpow), fcar0, zcar0)
 
 
@@ -964,13 +1145,28 @@ class FmChainPlan:
     # sub-blocks whose window dots are ALL issued before any VPU stage,
     # letting the scheduler overlap MXU and VPU work (round 3).
     n_sub: int = 1
+    # round 4: issue dots only dot_ahead sub-blocks ahead of the VPU
+    # stages instead of all-up-front (None) — interleaves [stage s] with
+    # [build+dot s+k] in program order so the MXU keeps running under
+    # the VPU stages (see _fm_chain_kernel). Measured a wash at the
+    # flagship (BASELINE.md round 4) — kept as a tuning knob.
+    dot_ahead: int | None = None
+    # round 4 PFB front (uniform channel grids f_c = g_c*Fs/K with D | K):
+    # front='pfb' replaces the Toeplitz window copies + G' contraction
+    # with a Q-tap polyphase fold + one (2C, 2K) DFT-bank dot per output
+    # phase p = K/D (r_stack holds P; gh/gl hold the split DFT bank; hp
+    # the (Q, K) polyphase taps). See _pfb_fold_dot.
+    front: str = "toeplitz"
+    q_fold: int = 0
+    k_grid: int = 0
+    hp: object = None
 
 
 def fm_chain_plan(kernel_bank, decimation, gain, deemph_b, deemph_a,
                   n_buf, shifts_hz, sample_rate,
                   block_n=4096, precision="bf16x3", xq_mode="nt",
                   n_sub="auto", cap_words=3_500_000, _force_bn=None,
-                  r_stack=None):
+                  r_stack=None, dot_ahead=None):
     """Build the host-side plan for a tail-prepended buffer of n_buf samples.
 
     Raises ValueError when the shape cannot run fused (the taps, padded to
@@ -1067,7 +1263,107 @@ def fm_chain_plan(kernel_bank, decimation, gain, deemph_b, deemph_a,
         f32_dot=f32_dot, xq_mode=xq_mode,
         gain=float(gain), b0=b0, cc=cc, a1=a1,
         gh=np.asarray(gh), gl=np.asarray(gl), pj=pj_np, bt=bt_np,
-        n_sub=n_sub)
+        n_sub=n_sub,
+        dot_ahead=None if dot_ahead is None else int(dot_ahead))
+
+
+def pfb_fm_chain_plan(taps, decimation, gain, deemph_b, deemph_a,
+                      n_buf, shifts_hz, sample_rate, grid_bins, k_grid,
+                      block_n=4096, precision="bf16x3", n_sub="auto",
+                      cap_words=3_500_000, _force_bn=None):
+    """Plan the PFB-fronted fused FM chain (round 4) for channel shifts on
+    the uniform grid shifts_hz[c] = grid_bins[c] * Fs / k_grid with
+    decimation D | k_grid.
+
+    Same streaming contract, state pytree, and VPU back-end as
+    fm_chain_plan — only the contraction changes: a Q = ceil(T/K)-tap
+    polyphase fold + one (2C, 2K) DFT-bank dot per output phase (P = K/D
+    phases stack into the MXU M dim exactly like the Toeplitz R). K is
+    exact (no Toeplitz zero-span), so the MXU work per output is
+    4*C*K vs the dense form's ~8*C*T — the PFB form wins when the
+    prototype filter is long relative to the grid (T > ~K/2) and is the
+    TPU-native conclusion of the reference's multi-channel FM intent
+    (/root/reference/src/fm.cu:71-179).
+    """
+    d = int(decimation)
+    kg = int(k_grid)
+    if kg % d != 0:
+        raise ValueError(f"PFB front needs D | K (D={d}, K={kg})")
+    p_cnt = kg // d
+    taps_np = np.asarray(taps, np.float64)
+    t_len = len(taps_np)
+    hp = _poly_taps(taps_np, kg)
+    q_fold = hp.shape[0]
+    if q_fold > 127:
+        raise ValueError(
+            f"taps span {q_fold} grid periods > 127: the 128-coarse-column "
+            f"halo window cannot cover the fold")
+    c_cnt = len(grid_bins)
+    c_eff = -(-c_cnt // _SUB) * _SUB
+    r_stack = p_cnt
+    rows = r_stack * 2 * d          # = 2K: the nt plane pair is (n, K)
+    m = (int(n_buf) - t_len) // d + 1
+    n_j_real = -(-m // r_stack)
+
+    def _ns_at(bn_c):
+        ns = min(8, max(1, bn_c // _LANE)) if n_sub == "auto" else int(n_sub)
+        while ns > 1 and (bn_c % ns != 0 or (bn_c // ns) % _LANE != 0):
+            ns //= 2
+        return ns
+
+    if _force_bn is not None:
+        bn = int(_force_bn)
+        if bn < _LANE or bn % _LANE != 0:
+            raise ValueError(f"_force_bn={bn} must be a multiple of 128")
+    else:
+        bn = _LANE
+
+        def _words(bn_c):
+            # per-column f32 words: y/audio/VPU liveness (same model as
+            # the Toeplitz plan) + the (P*bn, 2K) fold scratch
+            return (9 * r_stack * 2 * c_eff // 2 // min(_ns_at(bn_c), 4)
+                    + r_stack * 2 * kg) * bn_c
+
+        while bn * 2 <= int(block_n) and 512 * bn * bn < n_j_real * n_j_real:
+            bn *= 2
+        while bn > _LANE and _words(bn) > int(cap_words):
+            bn //= 2
+        if _words(bn) > int(cap_words):
+            raise ValueError(
+                f"PFB front infeasible: P={p_cnt} phases x 2K={2 * kg} "
+                f"fold-scratch lanes exceed the VMEM budget even at "
+                f"bn=128 ({_words(bn)} > {cap_words} words). Large-K "
+                f"grids with T < K also lose structurally (the DFT-bank "
+                f"dot does 4*C*K > 4*C*T MACs) — use the dense chain.")
+    requested = n_sub
+    n_sub = _ns_at(bn)
+    if requested != "auto" and int(requested) != n_sub:
+        import warnings
+        warnings.warn(
+            f"pfb_fm_chain_plan: n_sub={requested} cannot split bn={bn} "
+            f"into lane-aligned sub-blocks; running n_sub={n_sub}",
+            stacklevel=2)
+    m_eff = -(-m // (r_stack * bn)) * (r_stack * bn)
+    n_j = m_eff // r_stack
+    g = _dft_bank_stacked(grid_bins, kg, c_eff)
+    gh, gl, f32_dot = _split_g(g, precision)
+
+    b0 = float(deemph_b[0]) / float(deemph_a[0])
+    b1 = float(deemph_b[1]) / float(deemph_a[0])
+    a1 = float(deemph_a[1]) / float(deemph_a[0])
+    cc = b1 - a1 * b0
+
+    shifts_eff = tuple(float(f) for f in shifts_hz) \
+        + (0.0,) * (c_eff - c_cnt)
+    pj_np, bt_np = _phasor_tables(shifts_eff, sample_rate, d, r_stack, bn,
+                                  n_j // bn)
+    return FmChainPlan(
+        d=d, t=t_len, c_cnt=c_cnt, c_eff=c_eff, r_stack=r_stack,
+        groups=q_fold, rows=rows, bn=bn, n_j=n_j, m=m, n_buf=int(n_buf),
+        f32_dot=f32_dot, xq_mode="nt",
+        gain=float(gain), b0=b0, cc=cc, a1=a1,
+        gh=np.asarray(gh), gl=np.asarray(gl), pj=pj_np, bt=bt_np,
+        n_sub=n_sub, front="pfb", q_fold=q_fold, k_grid=kg, hp=hp)
 
 
 def fm_chain_apply(plan, buf, lo_table, n0_rot, carry_f, carry_z,
@@ -1118,13 +1414,33 @@ def fm_chain_apply(plan, buf, lo_table, n0_rot, carry_f, carry_z,
         jnp.asarray(plan.bt if bt is None else bt),
         jnp.asarray(plan.pj if pj is None else pj),
         fcar0, zcar0,
+        hp=None if plan.hp is None else jnp.asarray(plan.hp),
         block_n=plan.bn, groups=plan.groups, rows=plan.rows, c_eff=c_eff,
         r_stack=r_stack, gain=plan.gain, b0=plan.b0, cc=plan.cc, a1=plan.a1,
         f32_dot=plan.f32_dot, interpret=interpret, xq_mode=plan.xq_mode,
-        m_real=plan.m, ablate=ablate, n_sub=plan.n_sub)
+        m_real=plan.m, ablate=ablate, n_sub=plan.n_sub,
+        dot_ahead=plan.dot_ahead,
+        front=plan.front, q_fold=plan.q_fold, k_grid=plan.k_grid,
+        d_stat=plan.d)
     new_f = ComplexArray(fcar[:c_cnt, 0:1], fcar[:c_cnt, 1:2])
     return (_unstack(audio, c_eff, c_cnt, r_stack, plan.m), new_f,
             zcar[:c_cnt])
+
+
+def pfb_fm_chain_pallas(buf, taps, lo_table, n0_rot, decimation, gain,
+                        deemph_b, deemph_a, carry_f, carry_z,
+                        shifts_hz, sample_rate, grid_bins, k_grid,
+                        block_n=4096, precision="bf16x3", interpret=False,
+                        n_sub="auto"):
+    """PFB-fronted fused FM chain over a tail-prepended planar RF buffer
+    (uniform channel grid; same contract and state pytree as
+    fm_chain_pallas — the two are interchangeable mid-stream)."""
+    plan = pfb_fm_chain_plan(taps, decimation, gain, deemph_b, deemph_a,
+                             buf.shape[-1], shifts_hz, sample_rate,
+                             grid_bins, k_grid, block_n=block_n,
+                             precision=precision, n_sub=n_sub)
+    return fm_chain_apply(plan, buf, lo_table, n0_rot, carry_f, carry_z,
+                          interpret=interpret)
 
 
 def fm_chain_pallas(buf, kernel_bank, lo_table, n0_rot, decimation, gain,

@@ -32,6 +32,26 @@ from gsdr_tpu.backend import is_tpu_backend
 from gsdr_tpu.carray import ComplexArray, is_planar
 
 
+def uniform_grid(shifts_hz, sample_rate, max_k=4096):
+    """Detect a uniform frequency grid: return (k, bins) with every shift
+    f_c = bins[c] * Fs / k for integers bins[c] (mod k) and the smallest
+    such k, or None when the shifts don't sit on an Fs/k grid with
+    k <= max_k. Exact rational arithmetic — float shifts like Fs/64 are
+    exactly representable, so no tolerance games."""
+    from fractions import Fraction
+    from math import lcm
+
+    fs = Fraction(float(sample_rate))
+    if fs == 0:
+        return None
+    ratios = [Fraction(float(f)) / fs for f in shifts_hz]
+    k = lcm(*[r.denominator for r in ratios]) if ratios else 1
+    if k > int(max_k):
+        return None
+    bins = [int((r * k) % k) for r in ratios]
+    return k, bins
+
+
 def pfb_taps_to_polyphase(taps, num_channels):
     """(T,) prototype low-pass -> (K, Q) polyphase matrix, zero-padding T
     up to a multiple of K. Row r holds h[r], h[K+r], h[2K+r], ..."""
@@ -50,6 +70,107 @@ def _dft_matrices(k):
     r = np.arange(k)[None, :]
     ang = -2.0 * np.pi * c * r / k
     return (np.cos(ang).astype(np.float32), np.sin(ang).astype(np.float32))
+
+
+def _dft_bank_matrix(grid_bins, k):
+    """Planar (2C, 2K) DFT-bank matrix for the uniform-grid channelizer:
+    row pair (2c, 2c+1) evaluates sum_v a[v] * e^{+2i pi g_c v / K} from
+    the stacked planar fold A = [a_re; a_im] — the positive sign matches
+    make_complex_tap_bank's g_c[t] = h[t] e^{+2i pi f_c t / Fs} with
+    f_c = g_c Fs / K (ops/channelize.py:39-66)."""
+    c_cnt = len(grid_bins)
+    g = np.zeros((2 * c_cnt, 2 * k), np.float64)
+    v = np.arange(k)
+    for c, gc in enumerate(grid_bins):
+        ang = 2.0 * np.pi * ((int(gc) * v) % k) / k
+        wr, wi = np.cos(ang), np.sin(ang)
+        g[2 * c, :k] = wr
+        g[2 * c, k:] = -wi
+        g[2 * c + 1, :k] = wi
+        g[2 * c + 1, k:] = wr
+    return g.astype(np.float32)
+
+
+def mix_fir_decimate_bank_uniform(x, taps, grid_bins, k_grid, decimation):
+    """Uniform-grid drop-in for ops.channelize.mix_fir_decimate_bank:
+    planar x (N,) -> planar UNROTATED (C, M), M = (N - T)//D + 1, for
+    channel shifts f_c = grid_bins[c] * Fs / k_grid (integer bins).
+
+    filt[c, j] = sum_t x[jD + t] h[t] e^{+2i pi g_c t / K}
+               = sum_v e^{+2i pi g_c v / K} a[v, j]            (t = v + Ku)
+        a[v, j] = sum_u h[v + Ku] x[jD + v + Ku]               (fold)
+
+    The fold costs T MACs per output FRAME shared by ALL channels (vs the
+    dense bank's C*T), and the DFT is one (2C, 2K) MXU matmul — the PFB
+    factorization wins by ~T/K = Q on the filter stage. Requires D | K
+    (windows then decompose as j = w*(K/D) + p with a per-p lane roll of
+    the (N/K, K) sample grid; non-divisor D falls back to the dense bank
+    upstream). Same "window starts at j*D" convention as ops/fir.py; the
+    caller applies rotate_bank (or rotate_bank_uniform) exactly as for
+    the dense bank.
+
+    This is the TPU-native conclusion of the reference's multi-channel FM
+    intent (/root/reference/src/fm.cu:71-179): O(T + C*K) instead of
+    O(C*T) MACs per output frame.
+    """
+    k = int(k_grid)
+    d = int(decimation)
+    if k % d != 0:
+        raise ValueError(f"uniform PFB needs D | K (D={d}, K={k})")
+    p_cnt = k // d
+    taps_np = np.asarray(taps, np.float64)
+    t_len = len(taps_np)
+    q = -(-t_len // k)
+    hp = np.zeros((k, q), np.float64)           # hp[v, u] = h[v + K u]
+    padded = np.zeros(k * q)
+    padded[:t_len] = taps_np
+    hp[:, :] = padded.reshape(q, k).T
+    hp = jnp.asarray(hp.astype(np.float32))
+
+    n = x.shape[-1]
+    m = (n - t_len) // d + 1
+    if m <= 0:
+        raise ValueError(f"need at least {t_len} samples, got {n}")
+    nw = -(-m // p_cnt)                          # windows per residue p
+    rows = nw + q + 1                            # sample-grid rows needed
+    pad = rows * k - n
+
+    def fold(plane):
+        xg = jnp.pad(plane, (0, max(0, pad)))[:rows * k].reshape(rows, k)
+        outs = []
+        for p in range(p_cnt):
+            off = p * d
+            # xp[w, v] = x[w*K + p*D + v]: lane-roll by p*D with the
+            # wrapped lanes taken from the NEXT row
+            if off:
+                xp = jnp.concatenate(
+                    [xg[:-1, off:], xg[1:, :off]], axis=1)
+            else:
+                xp = xg[:-1, :]
+            # a_p[v, w] = sum_u hp[v, u] xp[w + u, v]: depthwise conv
+            # along w, one tap row per lane v (feature_group_count = K)
+            a = lax.conv_general_dilated(
+                xp.T[None], hp[:, None, :],
+                window_strides=(1,), padding="VALID",
+                dimension_numbers=("NCH", "OIH", "NCH"),
+                feature_group_count=k,
+                preferred_element_type=jnp.float32,
+                precision=lax.Precision.HIGHEST,
+            )[0]                                  # (K, rows - q)
+            outs.append(a[:, :nw])
+        return jnp.stack(outs, axis=0)            # (P, K, NW)
+
+    a_re = fold(x.re)
+    a_im = fold(x.im)
+    g = jnp.asarray(_dft_bank_matrix(grid_bins, k))    # (2C, 2K)
+    a_all = jnp.concatenate([a_re, a_im], axis=1)      # (P, 2K, NW)
+    f = jnp.einsum("ck,pkw->cpw", g, a_all,
+                   precision=jax.lax.Precision.HIGHEST)  # (2C, P, NW)
+    # interleave j = w * P + p and trim the ragged tail
+    c_cnt = len(grid_bins)
+    f = jnp.transpose(f.reshape(c_cnt, 2, p_cnt, nw),
+                      (0, 1, 3, 2)).reshape(c_cnt, 2, nw * p_cnt)[..., :m]
+    return ComplexArray(f[:, 0, :], f[:, 1, :])
 
 
 def pfb_channelize(x, taps, num_channels, impl="xla"):

@@ -74,7 +74,16 @@ class FmChannelizer:
     low_pass_taps: Tuple[float, ...]
     deemphasis_tau: float = 75e-6
     # 'auto' (fused single-kernel chain on TPU when the shape supports it)
-    # | 'xla' | 'pallas'
+    # | 'xla' | 'pallas' | 'pfb' (uniform-grid polyphase front-end —
+    # fused PFB kernel on TPU, XLA fold+DFT elsewhere; 'pfb_pallas'
+    # forces the fused PFB kernel, interpret off-TPU). 'pfb' requires
+    # every channel shift on an Fs/K grid with D | K, and WINS when the
+    # prototype filter is long relative to the grid and decimation is
+    # near-critical (measured rule: Q = T/K >= 4 and P = K/D <= 4 — e.g.
+    # the 64-channel critical 512-tap wideband receiver runs 11.9 vs the
+    # dense kernel's 8.9 Gsps); short filters / heavy oversampling stay
+    # faster on the dense Toeplitz kernel (BASELINE.md round-4 PFB
+    # design-space table).
     impl: str = "auto"
     # fused-kernel contraction grade: 'bf16x3' (default) | 'bf16x2'
     # (fast: one fewer MXU pass; signal quantized to bf16 ~ -54 dB, below
@@ -188,7 +197,45 @@ class FmChannelizer:
             new_tail = buf[..., buf.shape[-1] - (t - 1):]
             n0_new = (n0 + jnp.int32(n % fs)) % fs
             return (n0_new, new_tail, new_carry, new_zi), audio
-        y = mix_fir_decimate_bank(buf, self._tap_bank(), self.decimation)
+        if self.impl in ("pfb", "pfb_pallas"):
+            # uniform-grid polyphase front-end: fold + DFT-bank contraction
+            # replaces the dense C*T tap-bank conv (ops/pfb.py). On TPU
+            # (or with impl='pfb_pallas') the WHOLE chain runs as the
+            # PFB-fronted fused kernel — state-compatible with every
+            # other impl (kernels/fm_chain_pallas.pfb_fm_chain_plan).
+            from gsdr_tpu.ops.pfb import (
+                mix_fir_decimate_bank_uniform,
+                uniform_grid,
+            )
+
+            grid = uniform_grid(self._shifts(), self.sample_rate)
+            if grid is None or grid[0] % self.decimation != 0:
+                raise ValueError(
+                    "impl='pfb' needs every channel shift on an Fs/K grid "
+                    f"with D | K (shifts={self._shifts()[:4]}..., "
+                    f"Fs={self.sample_rate}, D={self.decimation})")
+            if self.impl == "pfb_pallas" or is_tpu_backend():
+                from gsdr_tpu.kernels.fm_chain_pallas import (
+                    pfb_fm_chain_pallas,
+                )
+
+                rot0 = (n0 + jnp.int32(fs - (t - 1) % fs)) % fs
+                b_, a_ = self._deemph()
+                audio, new_carry, new_zi = pfb_fm_chain_pallas(
+                    buf, self.low_pass_taps, self._lo_table(), rot0,
+                    self.decimation, self.gain, b_, a_,
+                    disc_carry, deemph_zi,
+                    shifts_hz=tuple(self._shifts()),
+                    sample_rate=self.sample_rate,
+                    grid_bins=grid[1], k_grid=grid[0],
+                    precision=self.precision)
+                new_tail = buf[..., buf.shape[-1] - (t - 1):]
+                n0_new = (n0 + jnp.int32(n % fs)) % fs
+                return (n0_new, new_tail, new_carry, new_zi), audio
+            y = mix_fir_decimate_bank_uniform(
+                buf, self.low_pass_taps, grid[1], grid[0], self.decimation)
+        else:
+            y = mix_fir_decimate_bank(buf, self._tap_bank(), self.decimation)
         rot0 = (n0 + jnp.int32(fs - (t - 1) % fs)) % fs
         filt = rotate_bank(y, jnp.asarray(self._lo_table()), rot0,
                            self.decimation)  # (C, N/D)

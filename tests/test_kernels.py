@@ -361,6 +361,114 @@ class TestFusedFmChain:
         assert np.max(np.abs(y_x[:, 256:] - y_p[:, 256:])) / scale < 2e-3
 
 
+class TestPfbFusedChain:
+    """Round-4 PFB front: polyphase fold + DFT-bank dot replacing the
+    Toeplitz window contraction for uniform channel grids, sharing the
+    whole VPU back-end (rotor/disc/de-emphasis, carries, pad-and-mask)
+    with the dense fused kernel."""
+
+    FS = 1_024_000.0
+
+    def _model(self, k=16, d=4, t=128, impl="pfb_pallas"):
+        from gsdr_tpu.pipelines import FmChannelizer
+
+        def lp(nt, cf):
+            n = np.arange(nt) - (nt - 1) / 2.0
+            h = np.sinc(2 * cf * n) * np.hamming(nt)
+            return tuple((h / h.sum()).astype(np.float32).tolist())
+
+        return FmChannelizer(
+            sample_rate=self.FS, tuning_frequency=0.0,
+            channel_frequencies=tuple(-self.FS / 2 + (self.FS / k) * i
+                                      for i in range(k)),
+            frequency_deviation=75_000.0, decimation=d,
+            low_pass_taps=lp(t, 0.4 / k), impl=impl)
+
+    def _rf(self, model, n, seed=0):
+        r = np.random.default_rng(seed)
+        tt = np.arange(n) / model.sample_rate
+        sig = np.zeros(n, np.complex128)
+        for c, f in enumerate(model.channel_frequencies):
+            msg = np.sin(2 * np.pi * (500.0 + 37.0 * c) * tt
+                         + r.uniform(0, 6))
+            sig += 0.03 * np.exp(1j * (2 * np.pi * f * tt + 0.3 * msg))
+        return ComplexArray.from_complex(sig.astype(np.complex64))
+
+    @pytest.mark.parametrize("d,t", [(4, 128), (16, 128), (8, 65)])
+    def test_matches_xla_with_state_continuation(self, d, t):
+        import dataclasses as dc
+
+        m_p = self._model(k=16, d=d, t=t)
+        m_x = dc.replace(m_p, impl="xla")
+        rf = self._rf(m_x, 16384)
+        st_x, st_p = m_x.init(), m_p.init()
+        for blk, skip in ((0, 512 // d + 8), (1, 0)):
+            part = rf[..., blk * 8192:(blk + 1) * 8192]
+            st_x, y_x = m_x.step(st_x, part)
+            st_p, y_p = m_p.step(st_p, part)
+            y_x, y_p = np.asarray(y_x), np.asarray(y_p)
+            scale = np.max(np.abs(y_x))
+            assert np.max(
+                np.abs(y_x[:, skip:] - y_p[:, skip:])) / scale < 2e-3, \
+                (d, t, blk)
+        np.testing.assert_allclose(st_p[2].to_numpy(), st_x[2].to_numpy(),
+                                   atol=5e-5)
+        np.testing.assert_allclose(np.asarray(st_p[3]), np.asarray(st_x[3]),
+                                   atol=5e-5)
+
+    def test_interchangeable_with_dense_fused(self):
+        """The PFB-fronted and Toeplitz-fronted fused kernels share the
+        state pytree: a stream may switch between them mid-flight."""
+        import dataclasses as dc
+
+        m_p = self._model(k=16, d=4, t=128)
+        m_d = dc.replace(m_p, impl="pallas")
+        rf = self._rf(m_p, 8192, seed=3)
+        st = m_p.init()
+        st, _ = m_p.step(st, rf)
+        st, y2 = m_d.step(st, rf)      # dense fused continues the stream
+        st_r = m_p.init()
+        st_r, _ = m_d.step(st_r, rf)
+        st_r, y_ref = m_d.step(st_r, rf)
+        np.testing.assert_allclose(np.asarray(y2), np.asarray(y_ref),
+                                   rtol=2e-3, atol=2e-4)
+
+    def test_n_sub_split_and_pad_mask(self):
+        """Plan-level: the overlap split and a non-grid-aligned M must be
+        numerically inert for the PFB front too (carries exact vs
+        n_sub=1, audio <= 1 ulp re-association)."""
+        from gsdr_tpu.kernels import fm_chain_pallas as fcp
+        from gsdr_tpu.utils.phase import phase_digit_table
+
+        k, d, t, c = 16, 4, 128, 16
+        bins = list(range(c))
+        shifts = [b * self.FS / k for b in bins]
+        n_buf = 100_000 + t - 1          # M=25000: off the P*128 grid
+        rng = np.random.default_rng(7)
+        buf = ComplexArray(
+            jnp.asarray(rng.standard_normal(n_buf), jnp.float32),
+            jnp.asarray(rng.standard_normal(n_buf), jnp.float32))
+        lo = phase_digit_table(shifts, self.FS)
+        cf = ComplexArray(jnp.zeros((c, 1), jnp.float32),
+                          jnp.zeros((c, 1), jnp.float32))
+        outs = {}
+        for ns in (1, 2):
+            plan = fcp.pfb_fm_chain_plan(
+                np.hamming(t) / np.hamming(t).sum(), d, 2.0,
+                (0.3, 0.3), (1.0, -0.4), n_buf, shifts, self.FS, bins, k,
+                n_sub=ns, _force_bn=256)
+            assert plan.n_sub == ns and plan.front == "pfb"
+            au, f2, z2 = fcp.fm_chain_apply(
+                plan, buf, lo, jnp.asarray(11, jnp.int32), cf,
+                jnp.zeros((c, 1), jnp.float32))
+            assert au.shape == (c, 25_000)
+            outs[ns] = (np.asarray(au), np.asarray(f2.re),
+                        np.asarray(f2.im), np.asarray(z2))
+        for a, b in zip(outs[1][1:], outs[2][1:]):
+            assert np.array_equal(a, b)          # carries bit-exact
+        assert np.allclose(outs[1][0], outs[2][0], atol=1e-5)
+
+
 class TestKernelMath:
     def test_atan2_poly_accuracy(self):
         from gsdr_tpu.kernels.kmath import atan2_poly

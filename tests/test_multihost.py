@@ -109,6 +109,34 @@ scale = np.max(np.abs(want)) + 1e-9
 err = np.max(np.abs(got - want)) / scale
 assert err < 1e-4, err
 
+# ---- round 4: the FUSED per-shard path across a real process boundary --
+# (impl='pallas' dispatches the fused chain per shard; interpret mode on
+# CPU — the halo ppermute / z all_gather / tail psum plumbing is what
+# crosses processes here, previously covered only single-process)
+import dataclasses
+
+model_f = dataclasses.replace(model, impl="pallas")
+step_f = make_sharded_fm_step(model_f, mesh)
+state_f = glob_state(model_f.init())
+outs_f = []
+for b in range(2):
+    rf = ComplexArray(globalize(rf_np[b], sh_time),
+                      globalize(np.zeros_like(rf_np[b]), sh_time))
+    state_f, audio = step_f(state_f, rf)
+    outs_f.append(audio)
+got_f = np.concatenate(
+    [np.asarray(multihost_utils.process_allgather(a, tiled=True))
+     for a in outs_f], axis=-1)
+ref_state = model_f.init()
+refs_f = []
+for b in range(2):
+    rf = ComplexArray(jnp.asarray(rf_np[b]), jnp.zeros(N, jnp.float32))
+    ref_state, audio = model_f.step(ref_state, rf)
+    refs_f.append(np.asarray(audio))
+want_f = np.concatenate(refs_f, axis=-1)
+err_f = np.max(np.abs(got_f - want_f)) / (np.max(np.abs(want_f)) + 1e-9)
+assert err_f < 2e-4, err_f
+
 # ---- BASELINE config 5: 256-stream QPSK256 modem sharded across the two
 # processes (streams over 'channel' crosses the process boundary) --------
 from gsdr_tpu.parallel import make_sharded_qpsk256_modem
@@ -126,8 +154,8 @@ back = rx(samples)
 back_np = np.asarray(multihost_utils.process_allgather(back, tiled=True))
 assert np.array_equal(back_np, syms_np), "sharded qpsk256 loopback mismatch"
 
-print(f"MULTIHOST_OK pid={pid} err={err:.2e} qpsk256_loopback=exact",
-      flush=True)
+print(f"MULTIHOST_OK pid={pid} err={err:.2e} fused_err={err_f:.2e} "
+      "qpsk256_loopback=exact", flush=True)
 """
 
 

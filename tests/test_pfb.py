@@ -77,6 +77,109 @@ def test_pallas_matches_xla(k, q):
         got.to_numpy(), want.to_numpy(), atol=3e-4 * max(scale, 1.0))
 
 
+class TestUniformGridBank:
+    """Round-4 oversampled uniform-grid front-end: fold + DFT-bank matmul
+    must reproduce the dense complex-tap-bank conv exactly (same windows,
+    any D | K, any tap count)."""
+
+    def test_uniform_grid_detection(self):
+        from gsdr_tpu.ops.pfb import uniform_grid
+
+        k, bins = uniform_grid([0.0, FS / 64, -FS / 64, 5 * FS / 64], FS)
+        assert k == 64 and bins == [0, 1, 63, 5]
+        k, bins = uniform_grid([FS / 4], FS)
+        assert k == 4 and bins == [1]
+        # non-grid spacing (the run_all fm64 config class): Fs/15000 is
+        # not rational with a small denominator -> detected, but too big
+        assert uniform_grid([15_000.0, 30_000.0], 1e6)[0] == 200
+        assert uniform_grid([1234.5678], FS, max_k=4096) is None
+
+    @pytest.mark.parametrize("c,k,d,t", [
+        (16, 16, 16, 128),   # critical, Q=8
+        (16, 16, 4, 128),    # 4x oversampled
+        (64, 64, 16, 512),   # wideband: 64 channels, Q=8
+        (8, 16, 8, 65),      # C < K, odd T (zero-pad), non-contig bins
+        (4, 8, 2, 24),       # small everything
+    ])
+    def test_matches_dense_bank(self, c, k, d, t):
+        from gsdr_tpu.ops.channelize import (
+            make_complex_tap_bank,
+            mix_fir_decimate_bank,
+        )
+        from gsdr_tpu.ops.pfb import mix_fir_decimate_bank_uniform
+
+        bins = [(3 * i + 1) % k for i in range(c)]
+        shifts = [b * FS / k for b in bins]
+        taps = _lowpass(t, 0.4 / k)
+        x = _planar(k * 40 + t)
+        want = mix_fir_decimate_bank(
+            x, make_complex_tap_bank(taps, shifts, FS), d)
+        got = mix_fir_decimate_bank_uniform(x, taps, bins, k, d)
+        assert got.shape == want.shape, (got.shape, want.shape)
+        scale = np.max(np.abs(want.to_numpy()))
+        np.testing.assert_allclose(
+            got.to_numpy(), want.to_numpy(), atol=1e-5 * max(scale, 1.0))
+
+    def test_model_pfb_impl_matches_xla(self):
+        """FmChannelizer(impl='pfb') streams identically to impl='xla'
+        (same state pytree, same audio) on a grid config."""
+        import dataclasses as dc
+
+        from gsdr_tpu.pipelines import FmChannelizer
+
+        k = 32
+        m = FmChannelizer(
+            sample_rate=FS, tuning_frequency=0.0,
+            channel_frequencies=tuple(-FS / 2 + (FS / k) * i
+                                      for i in range(k)),
+            frequency_deviation=75_000.0, decimation=8,
+            low_pass_taps=tuple(_lowpass(4 * k, 0.4 / k).tolist()),
+            impl="xla")
+        mp = dc.replace(m, impl="pfb")
+        n = 8192
+        tt = np.arange(2 * n) / FS
+        sig = np.zeros(2 * n, np.complex128)
+        # a carrier on EVERY channel: silent channels demodulate near-zero
+        # filtered samples whose atan2 phase is branch-cut ill-posed
+        # between two correct implementations (CLAUDE.md testing note)
+        for c in range(k):
+            msg = np.sin(2 * np.pi * (500.0 + 37.0 * c) * tt)
+            sig += 0.03 * np.exp(
+                1j * (2 * np.pi * (-FS / 2 + FS / k * c) * tt + 0.3 * msg))
+        rf = ComplexArray(jnp.asarray(sig.real, jnp.float32),
+                          jnp.asarray(sig.imag, jnp.float32))
+        st_x, st_p = m.init(), mp.init()
+        # block 0 skips the zero-primed warmup region: the first filtered
+        # samples are near-zero and their atan2 phase is branch-cut
+        # ill-posed between two correct implementations
+        for blk, skip in ((0, 256), (1, 0)):
+            part = rf[..., blk * n:(blk + 1) * n]
+            st_x, y_x = m.step(st_x, part)
+            st_p, y_p = mp.step(st_p, part)
+            y_x, y_p = np.asarray(y_x), np.asarray(y_p)
+            scale = np.max(np.abs(y_x))
+            assert np.max(
+                np.abs(y_x[:, skip:] - y_p[:, skip:])) / scale < 1e-4, blk
+        np.testing.assert_allclose(st_p[2].to_numpy(), st_x[2].to_numpy(),
+                                   atol=1e-6)
+        np.testing.assert_allclose(np.asarray(st_p[3]), np.asarray(st_x[3]),
+                                   atol=1e-6)
+
+    def test_non_grid_config_rejected(self):
+        import dataclasses as dc
+
+        from gsdr_tpu.pipelines import FmChannelizer
+
+        m = FmChannelizer(
+            sample_rate=1e6, tuning_frequency=0.0,
+            channel_frequencies=(100_000.0, 161_234.567),
+            frequency_deviation=75_000.0, decimation=4,
+            low_pass_taps=tuple(_lowpass(64, 0.03).tolist()), impl="pfb")
+        rf = _planar(4096)
+        with pytest.raises(ValueError, match="Fs/K grid"):
+            m.step(m.init(), rf)
+
+
 def test_batch_axis():
     k, q = 8, 4
     taps = _lowpass(k * q, 0.4 / k)
