@@ -50,6 +50,45 @@ def atan_poly01(r, order=11):
     return r * p
 
 
+# Cephes single-precision minimax coefficients on [-pi/4, pi/4]:
+# sin: r (1 + s1 r^2 + s2 r^4 + s3 r^6), cos: 1 + c1 r^2 + ... + c4 r^8
+_S1 = -1.6666654611e-1
+_S2 = 8.3321608736e-3
+_S3 = -1.9515295891e-4
+_K1 = -0.5
+_K2 = 4.166664568298827e-2
+_K3 = -1.388731625493765e-3
+_K4 = 2.443315711809948e-5
+
+_TWO_OVER_PI = 0.6366197723675814
+# Cody-Waite split of pi/2: HI is exactly representable in f32 with
+# trailing zero bits, so k*HI is exact for small integer k and the
+# reduction r = (ang - k*HI) - k*LO keeps ~f32-ulp angle accuracy
+_PI2_HI = 1.5707962512969971
+_PI2_LO = 7.549789948768648e-08
+
+
+def sincos_poly(ang):
+    """(cos(ang), sin(ang)) via quarter-period range reduction + the
+    Cephes f32 minimax polynomials — ~1e-7 absolute for |ang| up to a
+    few hundred radians (one f32 k*pi/2 subtraction). ~20 VPU ops for
+    BOTH values vs two libm-grade transcendental lowerings; used where
+    per-element sin/cos dominates (the QPSK256 ring modulator) and
+    usable inside Pallas kernels."""
+    k = jnp.round(ang * _TWO_OVER_PI)
+    r = (ang - k * _PI2_HI) - k * _PI2_LO
+    r2 = r * r
+    sin_r = r * (1.0 + r2 * (_S1 + r2 * (_S2 + r2 * _S3)))
+    cos_r = 1.0 + r2 * (_K1 + r2 * (_K2 + r2 * (_K3 + r2 * _K4)))
+    q = k - 4.0 * jnp.floor(k * 0.25)          # k mod 4 in {0,1,2,3}
+    odd = (q == 1.0) | (q == 3.0)
+    s = jnp.where(odd, cos_r, sin_r)
+    c = jnp.where(odd, sin_r, cos_r)
+    s_neg = (q == 2.0) | (q == 3.0)            # sin sign: -1 for k%4 in {2,3}
+    c_neg = (q == 1.0) | (q == 2.0)            # cos sign: -1 for k%4 in {1,2}
+    return jnp.where(c_neg, -c, c), jnp.where(s_neg, -s, s)
+
+
 def atan2_poly(y, x, order=11):
     """Four-quadrant atan2 via range reduction + the [0,1] polynomial.
 

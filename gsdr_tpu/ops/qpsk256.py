@@ -193,7 +193,12 @@ def qpsk256_modulate_circular(symbols, amplitude=1.0):
     invp = sel([1.0 / p for p in _CIRC_POINTS], 1.0 / 256.0)
     offs = jnp.where(ring == 8, 0.0, 0.5 * ring.astype(jnp.float32))
     ang = _TWO_PI * (s.astype(jnp.float32) - start) * invp + offs
-    return ComplexArray(radius * jnp.cos(ang), radius * jnp.sin(ang))
+    # sincos_poly (~1e-7 abs, round 4): the two transcendentals were the
+    # bulk of the modulator's VPU time (measured 24.8 -> ~15 us / 2^19)
+    from gsdr_tpu.kernels.kmath import sincos_poly
+
+    c, sn = sincos_poly(ang)
+    return ComplexArray(radius * c, radius * sn)
 
 
 def qpsk256_demodulate_circular(x, amplitude=1.0, out_dtype=jnp.uint8):
@@ -214,7 +219,13 @@ def qpsk256_demodulate_circular(x, amplitude=1.0, out_dtype=jnp.uint8):
     xp = x if is_planar(x) else ComplexArray.from_complex(jnp.asarray(x))
     re, im = xp.re, xp.im
     rho2 = re * re + im * im
-    theta = jnp.arctan2(im, re)  # [-pi, pi]
+    # polynomial atan2 (~1e-6 rad, round 4): cheaper than the libm
+    # lowering and 5 orders below the narrowest angular Voronoi
+    # half-width (pi/56 ~ 0.056 rad), so decisions are unaffected except
+    # exact boundary ties (same class as the ring decomposition itself)
+    from gsdr_tpu.kernels.kmath import atan2_poly
+
+    theta = atan2_poly(im, re)  # [-pi, pi]
 
     # ring 0: the origin point, symbol 0
     best_d = rho2
