@@ -248,7 +248,21 @@ def check_pfb_fm():
     y1, y2 = np.asarray(y1), np.asarray(y2)
     err = float(np.max(np.abs(y1[:, 256:] - y2[:, 256:]))
                 / np.max(np.abs(y1)))
-    return _report("pfb_fm_fused_16ch_d4_t128", err, 2e-3)
+    ok = _report("pfb_fm_fused_16ch_d4_t128", err, 2e-3)
+
+    # AM PFB front (wideband shape class: critical decimation, Q=8)
+    from gsdr_tpu.pipelines import AmReceiver
+
+    ma = AmReceiver(
+        sample_rate=fs, tuning_frequency=0.0,
+        channel_frequencies=tuple(-fs / 2 + (fs / k) * i for i in range(k)),
+        decimation=16, low_pass_taps=lowpass(128, 0.4 / k), impl="xla")
+    map_ = dc.replace(ma, impl="pfb")
+    _, a1 = ma.step(ma.init(), rf)
+    _, a2 = map_.step(map_.init(), rf)
+    err = float(np.max(np.abs(np.asarray(a1) - np.asarray(a2))))
+    ok &= _report("pfb_am_fused_16ch_d16_t128", err, 2e-3)
+    return ok
 
 
 def check_iir():

@@ -483,7 +483,7 @@ def _window_dot(v, gh_ref, gl_ref, w_ref, bn, groups, rows, f32_dot,
 # ---------------------------------------------------------------------------
 
 def _am_chain_kernel(*refs, groups, rows, c_eff, r_stack, f32_dot, xq_mode,
-                     n_sub=1):
+                     n_sub=1, front="toeplitz", q_fold=0, k_grid=0, d=0):
     """Fused AM chain: stacked windows+dot + envelope 2*clamp(|.|,0,1)-1
     (the reference's fused k_Am, /root/reference/src/am.cu:21-50). The LO
     window-start rotor is a unit phasor and the envelope is magnitude-only,
@@ -492,27 +492,50 @@ def _am_chain_kernel(*refs, groups, rows, c_eff, r_stack, f32_dot, xq_mode,
 
     n_sub: intra-step overlap split (same mechanism as the FM kernel —
     all window dots issued into disjoint scratches before any envelope
-    math, so the scheduler overlaps MXU and VPU work)."""
+    math, so the scheduler overlaps MXU and VPU work).
+
+    front='pfb' (round 4): polyphase fold + DFT-bank dot instead of the
+    Toeplitz window contraction (uniform channel grid; see _pfb_fold_dot)."""
     nx = _n_xq_parts(xq_mode)
     xq_refs, halo_refs = refs[:nx], refs[nx:2 * nx]
-    gh_ref, gl_ref, audio_ref = refs[2 * nx:2 * nx + 3]
-    w_refs = refs[2 * nx + 3:2 * nx + 3 + n_sub]
+    base = 2 * nx
+    hp_ref = None
+    if front == "pfb":
+        hp_ref = refs[base]
+        base += 1
+    gh_ref, gl_ref, audio_ref = refs[base:base + 3]
+    w_refs = refs[base + 3:base + 3 + n_sub]
     bn = audio_ref.shape[1]
     bs = bn // n_sub
-    v = _build_v(xq_refs, halo_refs, xq_mode)
-    nt = xq_mode == "nt"
-    ys = [
-        _window_dot(v, gh_ref, gl_ref, w_refs[s], bs, groups, rows,
-                    f32_dot, nt=nt, col_off=s * bs)
-        for s in range(n_sub)
-    ]
+    if front == "pfb":
+        (xr, xi), (hr, hi) = xq_refs, halo_refs
+        vr = jnp.concatenate([xr[:, :], hr[:, :]], axis=0)
+        vi = jnp.concatenate([xi[:, :], hi[:, :]], axis=0)
+        ys = [
+            _pfb_fold_dot(vr, vi, hp_ref, gh_ref, gl_ref, w_refs[s], bs,
+                          q_fold, k_grid, d, r_stack, f32_dot,
+                          col_off=s * bs)
+            for s in range(n_sub)
+        ]
+    else:
+        v = _build_v(xq_refs, halo_refs, xq_mode)
+        nt = xq_mode == "nt"
+        ys = [
+            _window_dot(v, gh_ref, gl_ref, w_refs[s], bs, groups, rows,
+                        f32_dot, nt=nt, col_off=s * bs)
+            for s in range(n_sub)
+        ]
     for s in range(n_sub):
         y = ys[s]
         sl = slice(s * bs, (s + 1) * bs)
         for r in range(r_stack):
             row0 = r * 2 * c_eff
-            y_re = y[row0:row0 + c_eff, :]
-            y_im = y[row0 + c_eff:row0 + 2 * c_eff, :]
+            if front == "pfb":
+                y_re = y[r][:c_eff, :]
+                y_im = y[r][c_eff:, :]
+            else:
+                y_re = y[row0:row0 + c_eff, :]
+                y_im = y[row0 + c_eff:row0 + 2 * c_eff, :]
             mag = jnp.sqrt(y_re * y_re + y_im * y_im)
             audio_ref[r * c_eff:(r + 1) * c_eff, sl] = \
                 2.0 * jnp.clip(mag, 0.0, 1.0) - 1.0
@@ -521,9 +544,11 @@ def _am_chain_kernel(*refs, groups, rows, c_eff, r_stack, f32_dot, xq_mode,
 @functools.partial(
     jax.jit,
     static_argnames=("block_n", "groups", "rows", "c_eff", "r_stack",
-                     "f32_dot", "interpret", "xq_mode", "n_sub"))
-def _run_am(xq, gh, gl, *, block_n, groups, rows, c_eff, r_stack, f32_dot,
-            interpret, xq_mode="flat", n_sub=1):
+                     "f32_dot", "interpret", "xq_mode", "n_sub",
+                     "front", "q_fold", "k_grid", "d_stat"))
+def _run_am(xq, gh, gl, hp=None, *, block_n, groups, rows, c_eff, r_stack,
+            f32_dot, interpret, xq_mode="flat", n_sub=1,
+            front="toeplitz", q_fold=0, k_grid=0, d_stat=0):
     xq_parts = xq if isinstance(xq, tuple) else (xq,)
     n_coarse_total = _n_coarse_of(xq_parts[0], xq_mode)
     k_rows = gh.shape[1]
@@ -534,16 +559,25 @@ def _run_am(xq, gh, gl, *, block_n, groups, rows, c_eff, r_stack, f32_dot,
                          f"lane-aligned sub-blocks")
     kernel = functools.partial(_am_chain_kernel, groups=groups, rows=rows,
                                c_eff=c_eff, r_stack=r_stack, f32_dot=f32_dot,
-                               xq_mode=xq_mode, n_sub=n_sub)
+                               xq_mode=xq_mode, n_sub=n_sub,
+                               front=front, q_fold=q_fold, k_grid=k_grid,
+                               d=d_stat)
     vm = pltpu.VMEM
     xq_specs, halo_specs = _xq_specs(xq_mode, rows, bn)
     bs = bn // n_sub
-    w_shape = (bs, k_rows) if xq_mode == "nt" else (k_rows, bs)
+    if front == "pfb":
+        w_shape = (r_stack * bs, k_rows)
+        hp_specs = [pl.BlockSpec(hp.shape, lambda i: (0, 0),
+                                 memory_space=vm)]
+        hp_args = [hp]
+    else:
+        w_shape = (bs, k_rows) if xq_mode == "nt" else (k_rows, bs)
+        hp_specs, hp_args = [], []
     w_dtype = jnp.bfloat16 if f32_dot == "bf16x2" else jnp.float32
     return pl.pallas_call(
         kernel,
         grid=(n_out // bn,),
-        in_specs=list(xq_specs) + list(halo_specs) + [
+        in_specs=list(xq_specs) + list(halo_specs) + hp_specs + [
             pl.BlockSpec(gh.shape, lambda i: (0, 0), memory_space=vm),
             pl.BlockSpec(gl.shape, lambda i: (0, 0), memory_space=vm),
         ],
@@ -552,7 +586,7 @@ def _run_am(xq, gh, gl, *, block_n, groups, rows, c_eff, r_stack, f32_dot,
         out_shape=jax.ShapeDtypeStruct((r_stack * c_eff, n_out), jnp.float32),
         scratch_shapes=[pltpu.VMEM(w_shape, w_dtype) for _ in range(n_sub)],
         interpret=interpret,
-    )(*xq_parts, *xq_parts, gh, gl)
+    )(*xq_parts, *xq_parts, *hp_args, gh, gl)
 
 
 def _pad_taps(kernel_np, d):
@@ -651,6 +685,11 @@ class AmChainPlan:
     gh: object
     gl: object
     n_sub: int = 1
+    # round-4 PFB front (see FmChainPlan)
+    front: str = "toeplitz"
+    q_fold: int = 0
+    k_grid: int = 0
+    hp: object = None
 
 
 def am_chain_plan(kernel_bank, decimation, n_buf, block_n=4096,
@@ -708,10 +747,90 @@ def am_chain_apply(plan, buf, gh=None, gl=None, interpret=False):
         xq,
         jnp.asarray(plan.gh if gh is None else gh),
         jnp.asarray(plan.gl if gl is None else gl),
+        hp=None if plan.hp is None else jnp.asarray(plan.hp),
         block_n=plan.bn, groups=plan.groups, rows=plan.rows,
         c_eff=plan.c_eff, r_stack=plan.r_stack, f32_dot=plan.f32_dot,
-        interpret=interpret, xq_mode=plan.xq_mode, n_sub=plan.n_sub)
+        interpret=interpret, xq_mode=plan.xq_mode, n_sub=plan.n_sub,
+        front=plan.front, q_fold=plan.q_fold, k_grid=plan.k_grid,
+        d_stat=plan.d)
     return _unstack(audio, plan.c_eff, plan.c_cnt, plan.r_stack, plan.m)
+
+
+def pfb_am_chain_plan(taps, decimation, n_buf, grid_bins, k_grid,
+                      block_n=4096, precision="bf16x3", n_sub="auto",
+                      cap_words=3_500_000, _force_bn=None):
+    """Plan the PFB-fronted fused AM chain (round 4): channels on the
+    uniform grid shifts[c] = grid_bins[c] * Fs / k_grid with D | k_grid.
+    Same envelope back-end as am_chain_plan; see pfb_fm_chain_plan for
+    the front's structure and the measured win/loss boundary."""
+    d = int(decimation)
+    kg = int(k_grid)
+    if kg % d != 0:
+        raise ValueError(f"PFB front needs D | K (D={d}, K={kg})")
+    p_cnt = kg // d
+    taps_np = np.asarray(taps, np.float64)
+    t_len = len(taps_np)
+    hp = _poly_taps(taps_np, kg)
+    q_fold = hp.shape[0]
+    if q_fold > 127:
+        raise ValueError(
+            f"taps span {q_fold} grid periods > 127: the 128-coarse-column "
+            f"halo window cannot cover the fold")
+    c_cnt = len(grid_bins)
+    c_eff = -(-c_cnt // _SUB) * _SUB
+    r_stack = p_cnt
+    rows = r_stack * 2 * d
+    m = (int(n_buf) - t_len) // d + 1
+
+    def _ns_at(bn_c):
+        ns = min(8, max(1, bn_c // _LANE)) if n_sub == "auto" else int(n_sub)
+        while ns > 1 and (bn_c % ns != 0 or (bn_c // ns) % _LANE != 0):
+            ns //= 2
+        return ns
+
+    def _words(bn_c):
+        return (2 * r_stack * 2 * c_eff + r_stack * 2 * kg) * bn_c
+
+    if _force_bn is not None:
+        bn = int(_force_bn)
+        if bn < _LANE or bn % _LANE != 0:
+            raise ValueError(f"_force_bn={bn} must be a multiple of 128")
+    else:
+        cap = max(_LANE, int(cap_words) // max(1, _words(1)))
+        bn = _pick_bn_padded(-(-m // r_stack), cap, block_n)
+        if _words(bn) > int(cap_words):
+            raise ValueError(
+                f"PFB front infeasible: P={p_cnt} x 2K={2 * kg} fold "
+                f"scratch exceeds the VMEM budget even at bn=128")
+    requested = n_sub
+    n_sub = _ns_at(bn)
+    if requested != "auto" and int(requested) != n_sub:
+        import warnings
+        warnings.warn(
+            f"pfb_am_chain_plan: n_sub={requested} cannot split bn={bn} "
+            f"into lane-aligned sub-blocks; running n_sub={n_sub}",
+            stacklevel=2)
+    m_eff = -(-m // (r_stack * bn)) * (r_stack * bn)
+    n_j = m_eff // r_stack
+    g = _dft_bank_stacked(grid_bins, kg, c_eff)
+    gh, gl, f32_dot = _split_g(g, precision)
+    return AmChainPlan(
+        d=d, t=t_len, c_cnt=c_cnt, c_eff=c_eff, r_stack=r_stack,
+        groups=q_fold, rows=rows, bn=bn, n_j=n_j, m=m, n_buf=int(n_buf),
+        f32_dot=f32_dot, xq_mode="nt",
+        gh=np.asarray(gh), gl=np.asarray(gl), n_sub=n_sub,
+        front="pfb", q_fold=q_fold, k_grid=kg, hp=hp)
+
+
+def pfb_am_chain_pallas(buf, taps, decimation, grid_bins, k_grid,
+                        block_n=4096, precision="bf16x3", interpret=False,
+                        n_sub="auto"):
+    """PFB-fronted fused AM chain over a tail-prepended planar RF buffer
+    (uniform channel grid; same contract as am_chain_pallas)."""
+    plan = pfb_am_chain_plan(taps, decimation, buf.shape[-1], grid_bins,
+                             k_grid, block_n=block_n, precision=precision,
+                             n_sub=n_sub)
+    return am_chain_apply(plan, buf, interpret=interpret)
 
 
 def am_chain_pallas(buf, kernel_bank, decimation, block_n=4096,

@@ -170,11 +170,23 @@ def make_sharded_fm_step(model, mesh):
     # ---- fused single-kernel path (per block length N) ----------------------
     c_l = c_cnt // c_shards if c_cnt % c_shards == 0 else None
 
+    use_pfb = model.impl in ("pfb", "pfb_pallas")
+    if use_pfb:
+        from gsdr_tpu.ops.pfb import uniform_grid
+
+        grid = uniform_grid(shifts, model.sample_rate)
+        if grid is None or grid[0] % dec != 0:
+            raise ValueError(
+                "impl='pfb' needs every channel shift on an Fs/K grid "
+                f"with D | K (Fs={model.sample_rate}, D={dec})")
+
     def _fused_geometry_ok(n):
         from gsdr_tpu.kernels.fm_chain_pallas import fused_chain_supported
 
         if c_l is None or n % (t_shards * dec) != 0:
             return False
+        if use_pfb:
+            return True  # pfb plans validate their own geometry
         m_l = n // t_shards // dec
         return fused_chain_supported(dec, nt, m_l, c_l)
 
@@ -183,18 +195,33 @@ def make_sharded_fm_step(model, mesh):
         from gsdr_tpu.kernels.fm_chain_pallas import (
             fm_chain_apply,
             fm_chain_plan,
+            pfb_fm_chain_plan,
         )
 
         n_l = n // t_shards
         m_l = n_l // dec
         n_buf_l = n_l + nt - 1
-        plans = [
-            fm_chain_plan(
-                kernel_host[2 * ci * c_l:2 * (ci + 1) * c_l], dec, gain,
-                b, a, n_buf_l, shifts[ci * c_l:(ci + 1) * c_l],
-                model.sample_rate, precision=model.precision)
-            for ci in range(c_shards)
-        ]
+        if use_pfb:
+            # PFB front per channel shard: same sharded decomposition —
+            # the plan's tables (split DFT bank, rotor phasors) slice by
+            # channel exactly like the dense plan's
+            kg, bins = grid
+            plans = [
+                pfb_fm_chain_plan(
+                    model.low_pass_taps, dec, gain, b, a, n_buf_l,
+                    shifts[ci * c_l:(ci + 1) * c_l],
+                    model.sample_rate, bins[ci * c_l:(ci + 1) * c_l], kg,
+                    precision=model.precision)
+                for ci in range(c_shards)
+            ]
+        else:
+            plans = [
+                fm_chain_plan(
+                    kernel_host[2 * ci * c_l:2 * (ci + 1) * c_l], dec, gain,
+                    b, a, n_buf_l, shifts[ci * c_l:(ci + 1) * c_l],
+                    model.sample_rate, precision=model.precision)
+                for ci in range(c_shards)
+            ]
         plan = plans[0]
         gh_all = np.stack([p.gh for p in plans])
         gl_all = np.stack([p.gl for p in plans])
@@ -282,7 +309,7 @@ def make_sharded_fm_step(model, mesh):
         if n % (t_shards * dec) != 0:
             raise ValueError("N must divide by time_shards * decimation")
         fused_ok = _fused_geometry_ok(n)
-        use_fused = model.impl == "pallas" or (
+        use_fused = model.impl == "pallas" or use_pfb or (
             model.impl == "auto" and is_tpu_backend() and fused_ok)
         if model.impl == "auto" and is_tpu_backend() and not fused_ok:
             warnings.warn(
@@ -350,11 +377,24 @@ def make_sharded_am_step(model, mesh):
 
     c_l = c_cnt // c_shards if c_cnt % c_shards == 0 else None
 
+    use_pfb = model.impl in ("pfb", "pfb_pallas")
+    shifts_am = model._shifts()
+    if use_pfb:
+        from gsdr_tpu.ops.pfb import uniform_grid
+
+        grid = uniform_grid(shifts_am, model.sample_rate)
+        if grid is None or grid[0] % dec != 0:
+            raise ValueError(
+                "impl='pfb' needs every channel shift on an Fs/K grid "
+                f"with D | K (Fs={model.sample_rate}, D={dec})")
+
     def _fused_geometry_ok(n):
         from gsdr_tpu.kernels.fm_chain_pallas import fused_chain_supported
 
         if c_l is None or n % (t_shards * dec) != 0:
             return False
+        if use_pfb:
+            return True
         return fused_chain_supported(dec, nt, n // t_shards // dec, c_l,
                                      pad_m=True)
 
@@ -363,15 +403,26 @@ def make_sharded_am_step(model, mesh):
         from gsdr_tpu.kernels.fm_chain_pallas import (
             am_chain_apply,
             am_chain_plan,
+            pfb_am_chain_plan,
         )
 
         n_l = n // t_shards
         n_buf_l = n_l + nt - 1
-        plans = [
-            am_chain_plan(kernel_host[2 * ci * c_l:2 * (ci + 1) * c_l],
-                          dec, n_buf_l, precision=model.precision)
-            for ci in range(c_shards)
-        ]
+        if use_pfb:
+            kg, bins = grid
+            plans = [
+                pfb_am_chain_plan(
+                    model.low_pass_taps, dec, n_buf_l,
+                    bins[ci * c_l:(ci + 1) * c_l], kg,
+                    precision=model.precision)
+                for ci in range(c_shards)
+            ]
+        else:
+            plans = [
+                am_chain_plan(kernel_host[2 * ci * c_l:2 * (ci + 1) * c_l],
+                              dec, n_buf_l, precision=model.precision)
+                for ci in range(c_shards)
+            ]
         plan = plans[0]
         gh_all = np.stack([p.gh for p in plans])
         gl_all = np.stack([p.gl for p in plans])
@@ -397,7 +448,7 @@ def make_sharded_am_step(model, mesh):
         n0, tail = state
         n = rf.shape[-1]
         fused_ok = _fused_geometry_ok(n)
-        use_fused = model.impl == "pallas" or (
+        use_fused = model.impl == "pallas" or use_pfb or (
             model.impl == "auto" and is_tpu_backend() and fused_ok)
         if use_fused:
             if not fused_ok:

@@ -40,7 +40,10 @@ class AmReceiver:
     decimation: int
     low_pass_taps: Tuple[float, ...]
     # 'auto' (fused single-kernel chain on TPU when the shape supports it,
-    # measured 16x the XLA conv path) | 'xla' | 'pallas'
+    # measured 16x the XLA conv path) | 'xla' | 'pallas' | 'pfb' (uniform
+    # Fs/K channel grid with D | K: polyphase-fold + DFT-bank front inside
+    # the fused kernel on TPU, XLA fold+DFT elsewhere; 'pfb_pallas' forces
+    # the kernel — see pipelines/fm_radio.py for the measured win/loss rule)
     impl: str = "auto"
     # fused-kernel contraction grade: 'bf16x3' (~1e-4 rel, default) |
     # 'bf16x2' (fast: one fewer MXU pass + bf16 window scratch; signal
@@ -109,7 +112,33 @@ class AmReceiver:
             new_tail = buf[..., buf.shape[-1] - (t - 1):]
             n0_new = (n0 + jnp.int32(n % fs)) % fs
             return (n0_new, new_tail), audio
-        y = mix_fir_decimate_bank(buf, self._tap_bank(), self.decimation)
+        if self.impl in ("pfb", "pfb_pallas"):
+            from gsdr_tpu.ops.pfb import (
+                mix_fir_decimate_bank_uniform,
+                uniform_grid,
+            )
+
+            grid = uniform_grid(self._shifts(), self.sample_rate)
+            if grid is None or grid[0] % self.decimation != 0:
+                raise ValueError(
+                    "impl='pfb' needs every channel shift on an Fs/K grid "
+                    f"with D | K (Fs={self.sample_rate}, "
+                    f"D={self.decimation})")
+            if self.impl == "pfb_pallas" or is_tpu_backend():
+                from gsdr_tpu.kernels.fm_chain_pallas import (
+                    pfb_am_chain_pallas,
+                )
+
+                audio = pfb_am_chain_pallas(
+                    buf, self.low_pass_taps, self.decimation,
+                    grid[1], grid[0], precision=self.precision)
+                new_tail = buf[..., buf.shape[-1] - (t - 1):]
+                n0_new = (n0 + jnp.int32(n % fs)) % fs
+                return (n0_new, new_tail), audio
+            y = mix_fir_decimate_bank_uniform(
+                buf, self.low_pass_taps, grid[1], grid[0], self.decimation)
+        else:
+            y = mix_fir_decimate_bank(buf, self._tap_bank(), self.decimation)
         rot0 = (n0 + jnp.int32(fs - (t - 1) % fs)) % fs
         filt = rotate_bank(y, jnp.asarray(self._lo_table()), rot0,
                            self.decimation)

@@ -551,6 +551,39 @@ class TestFusedAmChain:
         assert np.asarray(y1).shape == np.asarray(y2).shape
         assert np.max(np.abs(np.asarray(y1) - np.asarray(y2))) < 2e-3
 
+    def test_pfb_front_matches_xla(self):
+        """Round-4 AM PFB front (uniform grid): fold + DFT-bank dot +
+        envelope matches the XLA chain; the AM envelope has no branch-cut
+        sensitivity so noise input is fair."""
+        import dataclasses as dc
+        from gsdr_tpu.pipelines import AmReceiver
+
+        fs = 1_024_000.0
+        k = 16
+
+        def lowpass(nt, cf):
+            n = np.arange(nt) - (nt - 1) / 2.0
+            h = np.sinc(2 * cf * n) * np.hamming(nt)
+            return tuple((h / h.sum()).astype(np.float32).tolist())
+
+        for d, t in ((4, 128), (16, 128), (8, 65)):
+            m = AmReceiver(sample_rate=fs, tuning_frequency=0.0,
+                           channel_frequencies=tuple(
+                               -fs / 2 + (fs / k) * i for i in range(10)),
+                           decimation=d, low_pass_taps=lowpass(t, 0.4 / k),
+                           impl="xla")
+            mp = dc.replace(m, impl="pfb_pallas")
+            z = 0.3 * (RNG.standard_normal(8192)
+                       + 1j * RNG.standard_normal(8192))
+            rf = ComplexArray.from_complex(z.astype(np.complex64))
+            st1, st2 = m.init(), mp.init()
+            for blk in range(2):
+                part = rf[..., blk * 4096:(blk + 1) * 4096]
+                st1, y1 = m.step(st1, part)
+                st2, y2 = mp.step(st2, part)
+                err = np.max(np.abs(np.asarray(y1) - np.asarray(y2)))
+                assert err < 2e-3, (d, t, blk, err)
+
     def test_n_sub_split_parity(self):
         """The AM kernel's overlap split must be bit-identical to the
         unsplit kernel (no cross-column state in AM — the sub-blocks

@@ -249,6 +249,44 @@ class TestShardedFusedChains:
             np.asarray(st_shard[3]), np.asarray(st_single[3]), atol=5e-5)
         assert int(st_shard[0]) == int(st_single[0])
 
+    def test_pfb_fm_sharded_matches_single_chip(self):
+        """Round-4: the PFB-fronted fused kernel dispatches per shard too
+        (channel shards get their own DFT-bank/rotor table slices; the
+        halo/all-gather plumbing is front-agnostic)."""
+        import dataclasses as dc
+
+        fs = 1_024_000.0
+        k = 16
+        model = FmChannelizer(
+            sample_rate=fs, tuning_frequency=0.0,
+            channel_frequencies=tuple(-fs / 2 + (fs / k) * i
+                                      for i in range(8)),
+            frequency_deviation=75_000.0, decimation=4,
+            low_pass_taps=_lowpass(64, 0.4 / k), impl="pfb_pallas")
+        mesh = make_mesh(channel=2, time=4)
+        step = make_sharded_fm_step(model, mesh)
+        rf = _fm_rf(model.channel_frequencies, 4096)
+        st_single, st_shard = model.init(), model.init()
+        for _ in range(2):
+            st_single, y_single = model.step(st_single, rf)
+            st_shard, y_shard = step(st_shard, rf)
+        np.testing.assert_allclose(
+            np.asarray(y_shard), np.asarray(y_single), rtol=2e-4, atol=2e-5)
+        np.testing.assert_allclose(
+            st_shard[1].to_numpy(), st_single[1].to_numpy(), atol=1e-6)
+        np.testing.assert_allclose(
+            st_shard[2].to_numpy(), st_single[2].to_numpy(), atol=5e-5)
+        np.testing.assert_allclose(
+            np.asarray(st_shard[3]), np.asarray(st_single[3]), atol=5e-5)
+        # the dense sharded step continues the SAME stream (fronts are
+        # state-compatible across the sharded boundary too)
+        m_dense = dc.replace(model, impl="pallas")
+        step_d = make_sharded_fm_step(m_dense, mesh)
+        st_shard, y_mix = step_d(st_shard, rf)
+        st_single, y_ref = m_dense.step(st_single, rf)
+        np.testing.assert_allclose(
+            np.asarray(y_mix), np.asarray(y_ref), rtol=2e-3, atol=2e-4)
+
     def test_fused_fm_odd_taps_sharded(self):
         """Round-4: T % D != 0 (T=65, D=4) runs fused per shard via the
         trailing-zero tap pad — the parallel dispatch warning is
@@ -307,6 +345,26 @@ class TestShardedFusedChains:
         rf = _planar((4096,))
         st_single = model.init()
         st_shard = model.init()
+        for _ in range(2):
+            st_single, y_single = model.step(st_single, rf)
+            st_shard, y_shard = step(st_shard, rf)
+        np.testing.assert_allclose(
+            np.asarray(y_shard), np.asarray(y_single), rtol=2e-4, atol=2e-5)
+
+    def test_pfb_am_sharded_matches_single_chip(self):
+        """Round-4: the PFB-fronted fused AM kernel per shard."""
+        fs = 1_024_000.0
+        k = 16
+        model = AmReceiver(
+            sample_rate=fs, tuning_frequency=0.0,
+            channel_frequencies=tuple(-fs / 2 + (fs / k) * i
+                                      for i in range(8)),
+            decimation=8, low_pass_taps=_lowpass(64, 0.4 / k),
+            impl="pfb_pallas")
+        mesh = make_mesh(channel=2, time=4)
+        step = make_sharded_am_step(model, mesh)
+        rf = _planar((4096,))
+        st_single, st_shard = model.init(), model.init()
         for _ in range(2):
             st_single, y_single = model.step(st_single, rf)
             st_shard, y_shard = step(st_shard, rf)
