@@ -767,6 +767,10 @@ def pfb_am_chain_plan(taps, decimation, n_buf, grid_bins, k_grid,
     kg = int(k_grid)
     if kg % d != 0:
         raise ValueError(f"PFB front needs D | K (D={d}, K={kg})")
+    if kg < _SUB:
+        raise ValueError(
+            f"PFB front needs K >= {_SUB} (K={kg}: the K-lane window "
+            f"planes fall below sublane alignment — use the dense chain)")
     p_cnt = kg // d
     taps_np = np.asarray(taps, np.float64)
     t_len = len(taps_np)
@@ -1408,6 +1412,10 @@ def pfb_fm_chain_plan(taps, decimation, gain, deemph_b, deemph_a,
     kg = int(k_grid)
     if kg % d != 0:
         raise ValueError(f"PFB front needs D | K (D={d}, K={kg})")
+    if kg < _SUB:
+        raise ValueError(
+            f"PFB front needs K >= {_SUB} (K={kg}: the K-lane window "
+            f"planes fall below sublane alignment — use the dense chain)")
     p_cnt = kg // d
     taps_np = np.asarray(taps, np.float64)
     t_len = len(taps_np)

@@ -72,6 +72,27 @@ def _dft_matrices(k):
     return (np.cos(ang).astype(np.float32), np.sin(ang).astype(np.float32))
 
 
+def pfb_preferred(shifts_hz, sample_rate, decimation, num_taps,
+                  max_p=4, min_q=4):
+    """(k, bins) when the measured PFB-win rule holds for this config,
+    else None: uniform Fs/k grid, D | k, k >= 8, Q = ceil(T/k) >= min_q
+    fold taps and P = k/D <= max_p output phases (the round-4 v5e
+    design-space table in BASELINE.md: long prototype filters at
+    near-critical decimation win ~1.3-2.2x; short filters / heavy
+    oversampling lose). Drives the models' impl='auto' TPU dispatch."""
+    grid = uniform_grid(shifts_hz, sample_rate)
+    if grid is None:
+        return None
+    k, bins = grid
+    d = int(decimation)
+    if k < 8 or k % d != 0 or k // d > int(max_p):
+        return None
+    q = -(-int(num_taps) // k)
+    if q < int(min_q) or q > 127:
+        return None
+    return k, bins
+
+
 def _dft_bank_matrix(grid_bins, k):
     """Planar (2C, 2K) DFT-bank matrix for the uniform-grid channelizer:
     row pair (2c, 2c+1) evaluates sum_v a[v] * e^{+2i pi g_c v / K} from

@@ -99,8 +99,17 @@ class AmReceiver:
         )
 
         m_out = (buf.shape[-1] - t) // self.decimation + 1
-        use_pallas = self.impl == "pallas" or (
-            self.impl == "auto"
+        impl = self.impl
+        if impl == "auto" and is_tpu_backend():
+            # prefer the PFB front where the measured win rule holds
+            # (uniform grid, long filter, near-critical decimation)
+            from gsdr_tpu.ops.pfb import pfb_preferred
+
+            if pfb_preferred(self._shifts(), self.sample_rate,
+                             self.decimation, t) is not None:
+                impl = "pfb"
+        use_pallas = impl == "pallas" or (
+            impl == "auto"
             and is_tpu_backend()
             and fused_chain_supported(self.decimation, t, m_out,
                                       self.num_channels, pad_m=True))
@@ -112,7 +121,7 @@ class AmReceiver:
             new_tail = buf[..., buf.shape[-1] - (t - 1):]
             n0_new = (n0 + jnp.int32(n % fs)) % fs
             return (n0_new, new_tail), audio
-        if self.impl in ("pfb", "pfb_pallas"):
+        if impl in ("pfb", "pfb_pallas"):
             from gsdr_tpu.ops.pfb import (
                 mix_fir_decimate_bank_uniform,
                 uniform_grid,
@@ -124,7 +133,7 @@ class AmReceiver:
                     "impl='pfb' needs every channel shift on an Fs/K grid "
                     f"with D | K (Fs={self.sample_rate}, "
                     f"D={self.decimation})")
-            if self.impl == "pfb_pallas" or is_tpu_backend():
+            if impl == "pfb_pallas" or is_tpu_backend():
                 from gsdr_tpu.kernels.fm_chain_pallas import (
                     pfb_am_chain_pallas,
                 )

@@ -169,9 +169,18 @@ class FmChannelizer:
         m_out = (buf.shape[-1] - t) // self.decimation + 1
         fused_ok = fused_chain_supported(self.decimation, t, m_out,
                                          self.num_channels)
-        use_pallas = self.impl == "pallas" or (
-            self.impl == "auto" and is_tpu_backend() and fused_ok)
-        if self.impl == "auto" and is_tpu_backend() and not fused_ok:
+        impl = self.impl
+        if impl == "auto" and is_tpu_backend():
+            # prefer the PFB front where the measured win rule holds
+            # (uniform grid, long filter, near-critical decimation)
+            from gsdr_tpu.ops.pfb import pfb_preferred
+
+            if pfb_preferred(self._shifts(), self.sample_rate,
+                             self.decimation, t) is not None:
+                impl = "pfb"
+        use_pallas = impl == "pallas" or (
+            impl == "auto" and is_tpu_backend() and fused_ok)
+        if impl == "auto" and is_tpu_backend() and not fused_ok:
             # Surface the perf cliff: the XLA chain is ~50x slower than
             # the fused kernel on this hardware (BASELINE.md).
             import warnings
@@ -197,7 +206,7 @@ class FmChannelizer:
             new_tail = buf[..., buf.shape[-1] - (t - 1):]
             n0_new = (n0 + jnp.int32(n % fs)) % fs
             return (n0_new, new_tail, new_carry, new_zi), audio
-        if self.impl in ("pfb", "pfb_pallas"):
+        if impl in ("pfb", "pfb_pallas"):
             # uniform-grid polyphase front-end: fold + DFT-bank contraction
             # replaces the dense C*T tap-bank conv (ops/pfb.py). On TPU
             # (or with impl='pfb_pallas') the WHOLE chain runs as the
@@ -214,7 +223,7 @@ class FmChannelizer:
                     "impl='pfb' needs every channel shift on an Fs/K grid "
                     f"with D | K (shifts={self._shifts()[:4]}..., "
                     f"Fs={self.sample_rate}, D={self.decimation})")
-            if self.impl == "pfb_pallas" or is_tpu_backend():
+            if impl == "pfb_pallas" or is_tpu_backend():
                 from gsdr_tpu.kernels.fm_chain_pallas import (
                     pfb_fm_chain_pallas,
                 )

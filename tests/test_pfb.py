@@ -165,6 +165,25 @@ class TestUniformGridBank:
         np.testing.assert_allclose(np.asarray(st_p[3]), np.asarray(st_x[3]),
                                    atol=1e-6)
 
+    def test_pfb_preferred_rule(self):
+        """The impl='auto' TPU dispatch rule encodes the measured round-4
+        win region: uniform grid, Q = T/K >= 4, P = K/D <= 4."""
+        from gsdr_tpu.ops.pfb import pfb_preferred
+
+        k = 64
+        grid_shifts = [(1e6 / k) * i for i in range(k)]
+        # wideband critical, Q=8: preferred
+        assert pfb_preferred(grid_shifts, 1e6, 64, 512) is not None
+        # 4x oversampled (P=4): still preferred
+        assert pfb_preferred(grid_shifts, 1e6, 16, 512) is not None
+        # heavy oversampling (P=16): dense wins -> not preferred
+        assert pfb_preferred(grid_shifts, 1e6, 4, 512) is None
+        # short filter (Q=1): dense wins
+        assert pfb_preferred(grid_shifts, 1e6, 64, 64) is None
+        # off-grid spacing (the run_all fm64 config class)
+        off = [-480_000.0 + 15_000.0 * i for i in range(64)]
+        assert pfb_preferred(off, 1e6, 64, 512) is None
+
     def test_non_grid_config_rejected(self):
         import dataclasses as dc
 
