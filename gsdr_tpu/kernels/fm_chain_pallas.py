@@ -254,6 +254,13 @@ def _xq_prep(buf, d, r_stack, n_coarse_total, mode="flat"):
     if mode == "nt":
         return (xr.reshape(n_coarse_total, r_stack * d),
                 xi.reshape(n_coarse_total, r_stack * d))
+    if mode == "ntc":
+        # 'nt' with the [re | im] lane-concat done ONCE in XLA instead of
+        # per grid step in VMEM (round 4): one (n_coarse, R*2D) operand;
+        # same G' 'planar' column order.
+        return jnp.concatenate(
+            [xr.reshape(n_coarse_total, r_stack * d),
+             xi.reshape(n_coarse_total, r_stack * d)], axis=1)
     xp = jnp.stack(
         [xr.reshape(n_coarse_total, r_stack * d),
          xi.reshape(n_coarse_total, r_stack * d)],
@@ -270,7 +277,7 @@ def _n_xq_parts(xq_mode):
 def _build_v(xq_refs, halo_refs, xq_mode):
     """Window source from the mode-specific block refs: (R*2D, bn + 128)
     for the dot-from-the-left modes, or TRANSPOSED (bn + 128, R*2D) for
-    'nt' (consumed by the NT dot_general)."""
+    'nt'/'ntc' (consumed by the NT dot_general)."""
     if xq_mode == "nt":
         xr, xi = xq_refs
         hr, hi = halo_refs
@@ -278,6 +285,8 @@ def _build_v(xq_refs, halo_refs, xq_mode):
             [jnp.concatenate([xr[:, :], xi[:, :]], axis=1),
              jnp.concatenate([hr[:, :], hi[:, :]], axis=1)], axis=0)
     (xq_ref,), (halo_ref,) = xq_refs, halo_refs
+    if xq_mode == "ntc":
+        return jnp.concatenate([xq_ref[:, :], halo_ref[:, :]], axis=0)
     return jnp.concatenate([xq_ref[:, :], halo_ref[:, :]], axis=1)
 
 
@@ -291,6 +300,12 @@ def _xq_specs(xq_mode, rows, bn):
                           lambda i: ((i * bn) // _LANE + bn // _LANE, 0),
                           memory_space=vm)
         return [xs, xs], [hs, hs]
+    if xq_mode == "ntc":
+        xs = pl.BlockSpec((bn, rows), lambda i: (i, 0), memory_space=vm)
+        hs = pl.BlockSpec((_LANE, rows),
+                          lambda i: ((i * bn) // _LANE + bn // _LANE, 0),
+                          memory_space=vm)
+        return [xs], [hs]
     return ([pl.BlockSpec((rows, bn), lambda i: (0, i),
                           memory_space=vm)],
             [pl.BlockSpec((rows, _LANE),
@@ -519,7 +534,7 @@ def _am_chain_kernel(*refs, groups, rows, c_eff, r_stack, f32_dot, xq_mode,
         ]
     else:
         v = _build_v(xq_refs, halo_refs, xq_mode)
-        nt = xq_mode == "nt"
+        nt = xq_mode in ("nt", "ntc")
         ys = [
             _window_dot(v, gh_ref, gl_ref, w_refs[s], bs, groups, rows,
                         f32_dot, nt=nt, col_off=s * bs)
@@ -571,7 +586,8 @@ def _run_am(xq, gh, gl, hp=None, *, block_n, groups, rows, c_eff, r_stack,
                                  memory_space=vm)]
         hp_args = [hp]
     else:
-        w_shape = (bs, k_rows) if xq_mode == "nt" else (k_rows, bs)
+        w_shape = ((bs, k_rows) if xq_mode in ("nt", "ntc")
+                   else (k_rows, bs))
         hp_specs, hp_args = [], []
     w_dtype = jnp.bfloat16 if f32_dot == "bf16x2" else jnp.float32
     return pl.pallas_call(
@@ -714,7 +730,7 @@ def am_chain_plan(kernel_bank, decimation, n_buf, block_n=4096,
     m_eff = -(-m // (r_stack * bn)) * (r_stack * bn)
     n_j = m_eff // r_stack
     g = _g_matrix_stacked(_pad_bank(kh, c_eff), d, c_eff, r_stack, groups,
-                          order="planar" if xq_mode == "nt"
+                          order="planar" if xq_mode in ("nt", "ntc")
                           else "interleaved")
     gh, gl, f32_dot = _split_g(g, precision)
     # intra-step overlap split (see fm_chain_plan): auto = min(8, bn/128)
@@ -929,7 +945,7 @@ def _fm_chain_kernel(*refs,
                                  r_stack, f32_dot, col_off=s * bs)
     else:
         v = _build_v(xq_refs, halo_refs, xq_mode)
-        nt = xq_mode == "nt"
+        nt = xq_mode in ("nt", "ntc")
 
         def _issue(s):
             return _window_dot(v, gh_ref, gl_ref, w_refs[s], bs, groups,
@@ -1149,7 +1165,8 @@ def _run_chain(base, xq, gh, gl, bt, pj, fcar0, zcar0, hp=None, *,
                                  memory_space=vm)]
         hp_args = [hp]
     else:
-        w_shape = (bs, k_rows) if xq_mode == "nt" else (k_rows, bs)
+        w_shape = ((bs, k_rows) if xq_mode in ("nt", "ntc")
+                   else (k_rows, bs))
         hp_specs, hp_args = [], []
     w_dtype = jnp.bfloat16 if f32_dot == "bf16x2" else jnp.float32
     return pl.pallas_call(
@@ -1367,7 +1384,7 @@ def fm_chain_plan(kernel_bank, decimation, gain, deemph_b, deemph_a,
     m_eff = -(-m // (r_stack * bn)) * (r_stack * bn)
     n_j = m_eff // r_stack
     g = _g_matrix_stacked(_pad_bank(kh, c_eff), d, c_eff, r_stack, groups,
-                          order="planar" if xq_mode == "nt"
+                          order="planar" if xq_mode in ("nt", "ntc")
                           else "interleaved")
     gh, gl, f32_dot = _split_g(g, precision)
 

@@ -218,6 +218,39 @@ class TestFusedFmChain:
             assert np.max(
                 np.abs(y_x[:, skip:] - y_p[:, skip:])) / scale < 2e-3, blk
 
+    def test_ntc_mode_bit_exact(self):
+        """xq_mode='ntc' ([re|im] lane-concat done once in XLA instead of
+        per grid step in VMEM) must be bit-exact vs 'nt' — same G' column
+        order, same windows (round 4; measured a perf wash on HW, kept as
+        the single-operand layout option)."""
+        from gsdr_tpu.kernels import fm_chain_pallas as fcp
+        from gsdr_tpu.ops.channelize import make_complex_tap_bank
+        from gsdr_tpu.utils.phase import phase_digit_table
+
+        t, d = 64, 4
+        n_buf = 131072 + t - 1
+        rng = np.random.default_rng(5)
+        taps = np.hamming(t) / np.hamming(t).sum()
+        shifts = [12_345.0, -5_000.0]
+        bank = make_complex_tap_bank(taps, shifts, FS)
+        buf = ComplexArray(
+            jnp.asarray(rng.standard_normal(n_buf), jnp.float32),
+            jnp.asarray(rng.standard_normal(n_buf), jnp.float32))
+        lo = phase_digit_table(shifts, FS)
+        cf = ComplexArray(jnp.zeros((2, 1), jnp.float32),
+                          jnp.zeros((2, 1), jnp.float32))
+        outs = {}
+        for mode in ("nt", "ntc"):
+            plan = fcp.fm_chain_plan(bank, d, 1.0, (1.0, 0.4), (1.0, -0.5),
+                                     n_buf, shifts, FS, xq_mode=mode,
+                                     _force_bn=1024)
+            au, f, z = fcp.fm_chain_apply(
+                plan, buf, lo, jnp.asarray(0, jnp.int32), cf,
+                jnp.zeros((2, 1), jnp.float32))
+            outs[mode] = (np.asarray(au), np.asarray(f.re), np.asarray(z))
+        for a, b in zip(outs["nt"], outs["ntc"]):
+            assert np.array_equal(a, b)
+
     def test_n_sub_split_parity(self):
         """The intra-step overlap split (n_sub sub-blocks, all window dots
         issued before any VPU stage) must be numerically inert: exported
