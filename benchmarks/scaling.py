@@ -118,39 +118,55 @@ def collective_volume(hlo_text):
     return total, per_op
 
 
+def _grid_model(nch=8, k=16, taps=128, dec=4, impl="pfb_pallas"):
+    """Uniform-grid config for the PFB sharded path (round 4)."""
+    from gsdr_tpu.pipelines import FmChannelizer
+
+    fs = 1_024_000.0
+    return FmChannelizer(
+        sample_rate=fs, tuning_frequency=0.0,
+        channel_frequencies=tuple(-fs / 2 + (fs / k) * i
+                                  for i in range(nch)),
+        frequency_deviation=75_000.0, decimation=dec,
+        low_pass_taps=_lowpass(taps, 0.4 / k), impl=impl)
+
+
 def comm_volume_audit():
-    """(b): collective volume must be O(halo), independent of N."""
+    """(b): collective volume must be O(halo), independent of N — for
+    both the dense Toeplitz and (round 4) PFB sharded fronts."""
     from gsdr_tpu.carray import ComplexArray
     from gsdr_tpu.parallel import make_mesh, make_sharded_fm_step
 
     results = []
     for t_sh in (2, 4, 8):
-        model = _model(nch=8, taps=64, dec=4, impl="pallas")
-        mesh = make_mesh(channel=1, time=t_sh,
-                         devices=jax.devices()[:t_sh])
-        step = make_sharded_fm_step(model, mesh)
-        vols = {}
-        for n in (1 << 14, 1 << 16):  # 4x apart: O(N) comm would show 4x
-            rng = np.random.default_rng(0)
-            rf = ComplexArray(
-                jnp.asarray(rng.standard_normal(n), jnp.float32),
-                jnp.asarray(rng.standard_normal(n), jnp.float32))
-            lowered = jax.jit(step).lower(model.init(), rf)
-            vols[n], per_op = collective_volume(lowered.as_text())
-        n_small, n_big = sorted(vols)
-        row = {
-            "metric": "sharded_fm_collective_elems_per_step",
-            "time_shards": t_sh,
-            "elems_at_16k": vols[n_small],
-            "elems_at_64k": vols[n_big],
-            "per_op": per_op,
-            "comm_is_o_halo": bool(vols[n_big] == vols[n_small]),
-        }
-        assert vols[n_big] == vols[n_small], (
-            f"collective volume grew with N: {vols} — O(N) comm bug")
-        assert vols[n_big] > 0, "no collectives found in lowered HLO"
-        results.append(row)
-        print(json.dumps(row), flush=True)
+        for label, model in (
+                ("fm", _model(nch=8, taps=64, dec=4, impl="pallas")),
+                ("fm_pfb", _grid_model())):
+            mesh = make_mesh(channel=1, time=t_sh,
+                             devices=jax.devices()[:t_sh])
+            step = make_sharded_fm_step(model, mesh)
+            vols = {}
+            for n in (1 << 14, 1 << 16):  # 4x apart: O(N) comm shows 4x
+                rng = np.random.default_rng(0)
+                rf = ComplexArray(
+                    jnp.asarray(rng.standard_normal(n), jnp.float32),
+                    jnp.asarray(rng.standard_normal(n), jnp.float32))
+                lowered = jax.jit(step).lower(model.init(), rf)
+                vols[n], per_op = collective_volume(lowered.as_text())
+            n_small, n_big = sorted(vols)
+            row = {
+                "metric": f"sharded_{label}_collective_elems_per_step",
+                "time_shards": t_sh,
+                "elems_at_16k": vols[n_small],
+                "elems_at_64k": vols[n_big],
+                "per_op": per_op,
+                "comm_is_o_halo": bool(vols[n_big] == vols[n_small]),
+            }
+            assert vols[n_big] == vols[n_small], (
+                f"collective volume grew with N: {vols} — O(N) comm bug")
+            assert vols[n_big] > 0, "no collectives found in lowered HLO"
+            results.append(row)
+            print(json.dumps(row), flush=True)
     return results
 
 
