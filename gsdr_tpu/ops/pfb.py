@@ -194,6 +194,63 @@ def mix_fir_decimate_bank_uniform(x, taps, grid_bins, k_grid, decimation):
     return ComplexArray(f[:, 0, :], f[:, 1, :])
 
 
+def pfb_synthesize(channels, taps, num_channels=None):
+    """Critically-sampled PFB SYNTHESIS bank: planar (..., K, M) channel
+    streams -> planar (..., M*K) wideband stream — the transmit-side
+    inverse of pfb_channelize (round 4, beyond reference parity: the
+    reference has per-stream modulators but no channel combiner).
+
+    Channel c is placed at +c * Fs / K:
+
+        x[jK + r] = sum_q hp[r, q] * v[r, j - q],
+        v[r, j]   = sum_c y[c, j] e^{+2i pi c r / K}       (inverse DFT)
+
+    with hp the (K, Q) polyphase split of the interpolation prototype
+    ``taps`` (design it like the analysis prototype; gain K is folded in
+    so an analysis->synthesis round trip through matched near-perfect-
+    reconstruction prototypes approximates identity up to the filters'
+    combined response). Streaming: prepend the previous block's last
+    (Q-1) v-columns per channel to avoid block-boundary transients
+    (callers via stream.py carry (K, Q-1) state); this one-shot form
+    zero-primes instead.
+    """
+    y = channels if is_planar(channels) else \
+        ComplexArray.from_complex(jnp.asarray(channels))
+    k = int(num_channels) if num_channels is not None else y.shape[-2]
+    if y.shape[-2] != k:
+        raise ValueError(f"channels axis {y.shape[-2]} != K={k}")
+    poly = jnp.asarray(pfb_taps_to_polyphase(taps, k)) * float(k)  # (K, Q)
+    q = poly.shape[1]
+    lead = y.shape[:-2]
+    m = y.shape[-1]
+
+    # v[r, j] = sum_c y[c, j] W^{+cr}: one (K x K) matmul per plane pair
+    wr, wi = _dft_matrices(k)     # W[c, r] = e^{-2i pi cr / K}
+    # e^{+2i pi cr/K} = conj: (wr, -wi); contract the CHANNEL axis
+    hi = "highest"
+    yr = y.re.reshape((-1, k, m))
+    yi = y.im.reshape((-1, k, m))
+    v_re = jnp.einsum("cr,bcm->brm", jnp.asarray(wr), yr, precision=hi) \
+        + jnp.einsum("cr,bcm->brm", jnp.asarray(wi), yi, precision=hi)
+    v_im = jnp.einsum("cr,bcm->brm", jnp.asarray(wr), yi, precision=hi) \
+        - jnp.einsum("cr,bcm->brm", jnp.asarray(wi), yr, precision=hi)
+
+    def interp(v):
+        # x-phase r at output frame j: causal per-lane FIR over j
+        vpad = jnp.pad(v, ((0, 0), (0, 0), (q - 1, 0)))
+        out = lax.conv_general_dilated(
+            vpad, poly[:, None, ::-1],      # causal: taps reversed
+            window_strides=(1,), padding="VALID",
+            dimension_numbers=("NCH", "OIH", "NCH"),
+            feature_group_count=k,
+            preferred_element_type=jnp.float32,
+            precision=lax.Precision.HIGHEST,
+        )                                    # (B, K, M)
+        return jnp.transpose(out, (0, 2, 1)).reshape(lead + (m * k,))
+
+    return ComplexArray(interp(v_re), interp(v_im))
+
+
 def pfb_channelize(x, taps, num_channels, impl="xla"):
     """Critically-sampled PFB: planar (..., N) -> planar (..., K, N//K - Q + 1).
 
