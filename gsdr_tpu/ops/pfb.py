@@ -251,6 +251,44 @@ def pfb_synthesize(channels, taps, num_channels=None):
     return ComplexArray(interp(v_re), interp(v_im))
 
 
+def pfb_synthesize_block(channels, taps, num_channels=None, tail=None):
+    """Streaming pfb_synthesize: (out (..., M*K), new_tail). ``tail`` is
+    the previous block's last (K, Q-1) channel columns (planar; zeros at
+    stream start) — block-split output is exactly the single-shot output
+    (tested), following the repo's (state, block) convention."""
+    y = channels if is_planar(channels) else \
+        ComplexArray.from_complex(jnp.asarray(channels))
+    k = int(num_channels) if num_channels is not None else y.shape[-2]
+    q = -(-len(np.asarray(taps)) // k)
+    if tail is None:
+        tail = ComplexArray.zeros(y.shape[:-1] + (q - 1,))
+    buf = ComplexArray(
+        jnp.concatenate([tail.re, y.re], axis=-1),
+        jnp.concatenate([tail.im, y.im], axis=-1))
+    out = pfb_synthesize(buf, taps, k)
+    new_tail = y[..., y.shape[-1] - (q - 1):]
+    return out[..., (q - 1) * k:], new_tail
+
+
+def pfb_channelize_block(x, taps, num_channels, tail=None, impl="xla"):
+    """Streaming pfb_channelize: (filt (..., K, N//K), new_tail). ``tail``
+    is the previous block's last (Q-1)*K raw samples (planar; zeros at
+    stream start); N must divide by K. Block-split == single-shot
+    (tested)."""
+    k = int(num_channels)
+    xp = x if is_planar(x) else ComplexArray.from_complex(jnp.asarray(x))
+    q = -(-len(np.asarray(taps)) // k)
+    hist = (q - 1) * k
+    if tail is None:
+        tail = ComplexArray.zeros(xp.shape[:-1] + (hist,))
+    buf = ComplexArray(
+        jnp.concatenate([tail.re, xp.re], axis=-1),
+        jnp.concatenate([tail.im, xp.im], axis=-1))
+    out = pfb_channelize(buf, taps, k, impl=impl)
+    new_tail = xp[..., xp.shape[-1] - hist:]
+    return out, new_tail
+
+
 def pfb_channelize(x, taps, num_channels, impl="xla"):
     """Critically-sampled PFB: planar (..., N) -> planar (..., K, N//K - Q + 1).
 

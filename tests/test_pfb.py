@@ -246,6 +246,39 @@ class TestPfbSynthesis:
         others = np.delete(power, c_target)
         assert power[c_target] > 50 * np.max(others)
 
+    def test_streaming_block_split_exact(self):
+        """pfb_synthesize_block / pfb_channelize_block: two blocks with a
+        carried tail reproduce the single-shot output exactly."""
+        from gsdr_tpu.ops.pfb import (
+            pfb_channelize,
+            pfb_channelize_block,
+            pfb_synthesize,
+            pfb_synthesize_block,
+        )
+
+        k, q = 16, 8
+        taps = _lowpass(k * q, 0.4 / k)
+        rng = np.random.default_rng(9)
+        m = 256
+        y = ComplexArray(
+            jnp.asarray(rng.standard_normal((k, m)), jnp.float32),
+            jnp.asarray(rng.standard_normal((k, m)), jnp.float32))
+        # single shot via the block API from zero state
+        want, _ = pfb_synthesize_block(y, taps, k)
+        o1, tail = pfb_synthesize_block(y[..., :m // 2], taps, k)
+        o2, _ = pfb_synthesize_block(y[..., m // 2:], taps, k, tail=tail)
+        got = np.concatenate([np.asarray(o1.re), np.asarray(o2.re)])
+        np.testing.assert_array_equal(got, np.asarray(want.re))
+
+        n = k * 200
+        x = _planar(n)
+        wantc, _ = pfb_channelize_block(x, taps, k)
+        c1, ctail = pfb_channelize_block(x[..., :n // 2], taps, k)
+        c2, _ = pfb_channelize_block(x[..., n // 2:], taps, k, tail=ctail)
+        gotc = np.concatenate([np.asarray(c1.re), np.asarray(c2.re)],
+                              axis=-1)
+        np.testing.assert_array_equal(gotc, np.asarray(wantc.re))
+
     def test_batch_axis(self):
         from gsdr_tpu.ops.pfb import pfb_synthesize
 
