@@ -67,7 +67,7 @@ def _channelize_kernel(*refs, groups, rows, c_eff, r_stack, f32_dot,
     v = _build_v(xq_refs, halo_refs, xq_mode)
     out_ref[:, :] = _window_dot(v, gh_ref, gl_ref, w_ref, bn,
                                 groups, rows, f32_dot,
-                                nt=xq_mode == "nt")
+                                nt=xq_mode in ("nt", "ntc"))
 
 
 @functools.partial(
@@ -86,7 +86,8 @@ def _run(xq, gh, gl, *, block_n, groups, rows, c_eff, r_stack, f32_dot,
                                xq_mode=xq_mode)
     vm = pltpu.VMEM
     xq_specs, halo_specs = _xq_specs(xq_mode, rows, bn)
-    w_shape = (bn, k_rows) if xq_mode == "nt" else (k_rows, bn)
+    w_shape = ((bn, k_rows) if xq_mode in ("nt", "ntc")
+               else (k_rows, bn))
     w_dtype = jnp.bfloat16 if f32_dot == "bf16x2" else jnp.float32
     return pl.pallas_call(
         kernel,
@@ -140,7 +141,7 @@ def mix_fir_decimate_bank_pallas(x, kernel, decimation, block_n=4096,
     n_j = m_eff // r_stack
     xq = _xq_prep(x, d, r_stack, n_j + _LANE, mode=xq_mode)
     g = _g_matrix_stacked(_pad_bank(kh, c_eff), d, c_eff, r_stack, groups,
-                          order="planar" if xq_mode == "nt"
+                          order="planar" if xq_mode in ("nt", "ntc")
                           else "interleaved")
     gh, gl, f32_dot = _split_g(g, precision)
     out = _run(xq, gh, gl, block_n=bn, groups=groups, rows=rows,

@@ -103,6 +103,49 @@ def _pick_bn(n_cols, block_cols):
     return bn
 
 
+def _ns_candidate(bn_c, requested):
+    """Overlap split at a candidate block size: 'auto' = min(8, bn/128),
+    demoted until the sub-blocks are lane-aligned."""
+    ns = min(8, max(1, bn_c // _LANE)) if requested == "auto" \
+        else int(requested)
+    while ns > 1 and (bn_c % ns != 0 or (bn_c // ns) % _LANE != 0):
+        ns //= 2
+    return ns
+
+
+def _resolve_n_sub(bn, requested, fn_name):
+    """Final n_sub for a plan; warns when an explicit request is demoted
+    (shared by all four chain plan builders)."""
+    ns = _ns_candidate(bn, requested)
+    if requested != "auto" and int(requested) != ns:
+        import warnings
+        warnings.warn(
+            f"{fn_name}: n_sub={requested} cannot split bn={bn} into "
+            f"lane-aligned sub-blocks; running n_sub={ns}", stacklevel=3)
+    return ns
+
+
+def _check_pfb_grid(k_grid, decimation, taps):
+    """Shared PFB-front geometry validation: returns (kg, d, p_cnt, hp,
+    q_fold) or raises with the structural reason (used by both PFB plan
+    builders)."""
+    d = int(decimation)
+    kg = int(k_grid)
+    if kg % d != 0:
+        raise ValueError(f"PFB front needs D | K (D={d}, K={kg})")
+    if kg < _SUB:
+        raise ValueError(
+            f"PFB front needs K >= {_SUB} (K={kg}: the K-lane window "
+            f"planes fall below sublane alignment — use the dense chain)")
+    hp = _poly_taps(np.asarray(taps, np.float64), kg)
+    q_fold = hp.shape[0]
+    if q_fold > 127:
+        raise ValueError(
+            f"taps span {q_fold} grid periods > 127: the 128-coarse-column "
+            f"halo window cannot cover the fold")
+    return kg, d, kg // d, hp, q_fold
+
+
 def _pick_bn_padded(n_j_real, cap_cols, block_n):
     """Block size for the pad-and-mask kernels (round 3): choose bn from
     the VMEM cap FIRST, then pad n_j up to a bn multiple — instead of
@@ -734,15 +777,7 @@ def am_chain_plan(kernel_bank, decimation, n_buf, block_n=4096,
                           else "interleaved")
     gh, gl, f32_dot = _split_g(g, precision)
     # intra-step overlap split (see fm_chain_plan): auto = min(8, bn/128)
-    requested = n_sub
-    n_sub = min(8, max(1, bn // _LANE)) if n_sub == "auto" else int(n_sub)
-    while n_sub > 1 and (bn % n_sub != 0 or (bn // n_sub) % _LANE != 0):
-        n_sub //= 2
-    if requested != "auto" and int(requested) != n_sub:
-        import warnings
-        warnings.warn(
-            f"am_chain_plan: n_sub={requested} cannot split bn={bn} into "
-            f"lane-aligned sub-blocks; running n_sub={n_sub}", stacklevel=2)
+    n_sub = _resolve_n_sub(bn, n_sub, "am_chain_plan")
     return AmChainPlan(
         d=d, t=t, c_cnt=c_cnt, c_eff=c_eff, r_stack=r_stack, groups=groups,
         rows=rows, bn=bn, n_j=n_j, m=m, n_buf=int(n_buf),
@@ -779,34 +814,13 @@ def pfb_am_chain_plan(taps, decimation, n_buf, grid_bins, k_grid,
     uniform grid shifts[c] = grid_bins[c] * Fs / k_grid with D | k_grid.
     Same envelope back-end as am_chain_plan; see pfb_fm_chain_plan for
     the front's structure and the measured win/loss boundary."""
-    d = int(decimation)
-    kg = int(k_grid)
-    if kg % d != 0:
-        raise ValueError(f"PFB front needs D | K (D={d}, K={kg})")
-    if kg < _SUB:
-        raise ValueError(
-            f"PFB front needs K >= {_SUB} (K={kg}: the K-lane window "
-            f"planes fall below sublane alignment — use the dense chain)")
-    p_cnt = kg // d
-    taps_np = np.asarray(taps, np.float64)
-    t_len = len(taps_np)
-    hp = _poly_taps(taps_np, kg)
-    q_fold = hp.shape[0]
-    if q_fold > 127:
-        raise ValueError(
-            f"taps span {q_fold} grid periods > 127: the 128-coarse-column "
-            f"halo window cannot cover the fold")
+    kg, d, p_cnt, hp, q_fold = _check_pfb_grid(k_grid, decimation, taps)
+    t_len = len(np.asarray(taps))
     c_cnt = len(grid_bins)
     c_eff = -(-c_cnt // _SUB) * _SUB
     r_stack = p_cnt
     rows = r_stack * 2 * d
     m = (int(n_buf) - t_len) // d + 1
-
-    def _ns_at(bn_c):
-        ns = min(8, max(1, bn_c // _LANE)) if n_sub == "auto" else int(n_sub)
-        while ns > 1 and (bn_c % ns != 0 or (bn_c // ns) % _LANE != 0):
-            ns //= 2
-        return ns
 
     def _words(bn_c):
         return (2 * r_stack * 2 * c_eff + r_stack * 2 * kg) * bn_c
@@ -822,14 +836,7 @@ def pfb_am_chain_plan(taps, decimation, n_buf, grid_bins, k_grid,
             raise ValueError(
                 f"PFB front infeasible: P={p_cnt} x 2K={2 * kg} fold "
                 f"scratch exceeds the VMEM budget even at bn=128")
-    requested = n_sub
-    n_sub = _ns_at(bn)
-    if requested != "auto" and int(requested) != n_sub:
-        import warnings
-        warnings.warn(
-            f"pfb_am_chain_plan: n_sub={requested} cannot split bn={bn} "
-            f"into lane-aligned sub-blocks; running n_sub={n_sub}",
-            stacklevel=2)
+    n_sub = _resolve_n_sub(bn, n_sub, "pfb_am_chain_plan")
     m_eff = -(-m // (r_stack * bn)) * (r_stack * bn)
     n_j = m_eff // r_stack
     g = _dft_bank_stacked(grid_bins, kg, c_eff)
@@ -1346,10 +1353,7 @@ def fm_chain_plan(kernel_bank, decimation, gain, deemph_b, deemph_a,
     # ordered across rounds; the MXU-first issue order lets the scheduler
     # overlap the dots with the previous sub-block's VPU stages.
     def _ns_at(bn_c):
-        ns = min(8, max(1, bn_c // _LANE)) if n_sub == "auto" else int(n_sub)
-        while ns > 1 and (bn_c % ns != 0 or (bn_c // ns) % _LANE != 0):
-            ns //= 2
-        return ns
+        return _ns_candidate(bn_c, n_sub)
 
     if _force_bn is not None:
         # test/A-B hook: bypass the chooser (still lane-aligned). Small
@@ -1374,13 +1378,7 @@ def fm_chain_plan(kernel_bank, decimation, gain, deemph_b, deemph_a,
             if words <= int(cap_words):
                 break
             bn //= 2
-    requested = n_sub
-    n_sub = _ns_at(bn)
-    if requested != "auto" and int(requested) != n_sub:
-        import warnings
-        warnings.warn(
-            f"fm_chain_plan: n_sub={requested} cannot split bn={bn} into "
-            f"lane-aligned sub-blocks; running n_sub={n_sub}", stacklevel=2)
+    n_sub = _resolve_n_sub(bn, n_sub, "fm_chain_plan")
     m_eff = -(-m // (r_stack * bn)) * (r_stack * bn)
     n_j = m_eff // r_stack
     g = _g_matrix_stacked(_pad_bank(kh, c_eff), d, c_eff, r_stack, groups,
@@ -1425,23 +1423,8 @@ def pfb_fm_chain_plan(taps, decimation, gain, deemph_b, deemph_a,
     TPU-native conclusion of the reference's multi-channel FM intent
     (/root/reference/src/fm.cu:71-179).
     """
-    d = int(decimation)
-    kg = int(k_grid)
-    if kg % d != 0:
-        raise ValueError(f"PFB front needs D | K (D={d}, K={kg})")
-    if kg < _SUB:
-        raise ValueError(
-            f"PFB front needs K >= {_SUB} (K={kg}: the K-lane window "
-            f"planes fall below sublane alignment — use the dense chain)")
-    p_cnt = kg // d
-    taps_np = np.asarray(taps, np.float64)
-    t_len = len(taps_np)
-    hp = _poly_taps(taps_np, kg)
-    q_fold = hp.shape[0]
-    if q_fold > 127:
-        raise ValueError(
-            f"taps span {q_fold} grid periods > 127: the 128-coarse-column "
-            f"halo window cannot cover the fold")
+    kg, d, p_cnt, hp, q_fold = _check_pfb_grid(k_grid, decimation, taps)
+    t_len = len(np.asarray(taps))
     c_cnt = len(grid_bins)
     c_eff = -(-c_cnt // _SUB) * _SUB
     r_stack = p_cnt
@@ -1450,10 +1433,7 @@ def pfb_fm_chain_plan(taps, decimation, gain, deemph_b, deemph_a,
     n_j_real = -(-m // r_stack)
 
     def _ns_at(bn_c):
-        ns = min(8, max(1, bn_c // _LANE)) if n_sub == "auto" else int(n_sub)
-        while ns > 1 and (bn_c % ns != 0 or (bn_c // ns) % _LANE != 0):
-            ns //= 2
-        return ns
+        return _ns_candidate(bn_c, n_sub)
 
     if _force_bn is not None:
         bn = int(_force_bn)
@@ -1479,14 +1459,7 @@ def pfb_fm_chain_plan(taps, decimation, gain, deemph_b, deemph_a,
                 f"bn=128 ({_words(bn)} > {cap_words} words). Large-K "
                 f"grids with T < K also lose structurally (the DFT-bank "
                 f"dot does 4*C*K > 4*C*T MACs) — use the dense chain.")
-    requested = n_sub
-    n_sub = _ns_at(bn)
-    if requested != "auto" and int(requested) != n_sub:
-        import warnings
-        warnings.warn(
-            f"pfb_fm_chain_plan: n_sub={requested} cannot split bn={bn} "
-            f"into lane-aligned sub-blocks; running n_sub={n_sub}",
-            stacklevel=2)
+    n_sub = _resolve_n_sub(bn, n_sub, "pfb_fm_chain_plan")
     m_eff = -(-m // (r_stack * bn)) * (r_stack * bn)
     n_j = m_eff // r_stack
     g = _dft_bank_stacked(grid_bins, kg, c_eff)

@@ -32,12 +32,16 @@ from gsdr_tpu.backend import is_tpu_backend
 from gsdr_tpu.carray import ComplexArray, is_planar
 
 
-def uniform_grid(shifts_hz, sample_rate, max_k=4096):
+def uniform_grid(shifts_hz, sample_rate, max_k=4096, multiple_of=1):
     """Detect a uniform frequency grid: return (k, bins) with every shift
     f_c = bins[c] * Fs / k for integers bins[c] (mod k) and the smallest
-    such k, or None when the shifts don't sit on an Fs/k grid with
-    k <= max_k. Exact rational arithmetic — float shifts like Fs/64 are
-    exactly representable, so no tolerance games."""
+    such k that is a multiple of ``multiple_of`` (callers pass the
+    decimation so the PFB front's D | K constraint is met whenever ANY
+    valid K exists — e.g. shifts on even bins of an Fs/64 grid give a
+    minimal k=32, which D=64 needs lifted to k=64). Returns None when the
+    shifts don't sit on such a grid with k <= max_k. Exact rational
+    arithmetic — float shifts like Fs/64 are exactly representable, so no
+    tolerance games."""
     from fractions import Fraction
     from math import lcm
 
@@ -46,6 +50,7 @@ def uniform_grid(shifts_hz, sample_rate, max_k=4096):
         return None
     ratios = [Fraction(float(f)) / fs for f in shifts_hz]
     k = lcm(*[r.denominator for r in ratios]) if ratios else 1
+    k = lcm(k, max(1, int(multiple_of)))
     if k > int(max_k):
         return None
     bins = [int((r * k) % k) for r in ratios]
@@ -80,7 +85,8 @@ def pfb_preferred(shifts_hz, sample_rate, decimation, num_taps,
     design-space table in BASELINE.md: long prototype filters at
     near-critical decimation win ~1.3-2.2x; short filters / heavy
     oversampling lose). Drives the models' impl='auto' TPU dispatch."""
-    grid = uniform_grid(shifts_hz, sample_rate)
+    grid = uniform_grid(shifts_hz, sample_rate,
+                        multiple_of=int(decimation))
     if grid is None:
         return None
     k, bins = grid
@@ -139,14 +145,9 @@ def mix_fir_decimate_bank_uniform(x, taps, grid_bins, k_grid, decimation):
     if k % d != 0:
         raise ValueError(f"uniform PFB needs D | K (D={d}, K={k})")
     p_cnt = k // d
-    taps_np = np.asarray(taps, np.float64)
-    t_len = len(taps_np)
-    q = -(-t_len // k)
-    hp = np.zeros((k, q), np.float64)           # hp[v, u] = h[v + K u]
-    padded = np.zeros(k * q)
-    padded[:t_len] = taps_np
-    hp[:, :] = padded.reshape(q, k).T
-    hp = jnp.asarray(hp.astype(np.float32))
+    t_len = len(np.asarray(taps))
+    hp = jnp.asarray(pfb_taps_to_polyphase(taps, k))  # hp[v, u] = h[v+Ku]
+    q = hp.shape[1]
 
     n = x.shape[-1]
     m = (n - t_len) // d + 1
@@ -266,7 +267,9 @@ def pfb_synthesize_block(channels, taps, num_channels=None, tail=None):
         jnp.concatenate([tail.re, y.re], axis=-1),
         jnp.concatenate([tail.im, y.im], axis=-1))
     out = pfb_synthesize(buf, taps, k)
-    new_tail = y[..., y.shape[-1] - (q - 1):]
+    # tail from the CONCATENATED stream: a block shorter than Q-1
+    # columns must keep part of the previous tail (code-review round 4)
+    new_tail = buf[..., buf.shape[-1] - (q - 1):]
     return out[..., (q - 1) * k:], new_tail
 
 
@@ -285,7 +288,9 @@ def pfb_channelize_block(x, taps, num_channels, tail=None, impl="xla"):
         jnp.concatenate([tail.re, xp.re], axis=-1),
         jnp.concatenate([tail.im, xp.im], axis=-1))
     out = pfb_channelize(buf, taps, k, impl=impl)
-    new_tail = xp[..., xp.shape[-1] - hist:]
+    # tail from the CONCATENATED stream: a block shorter than (Q-1)*K
+    # samples must keep part of the previous tail (code-review round 4)
+    new_tail = buf[..., buf.shape[-1] - hist:]
     return out, new_tail
 
 

@@ -174,7 +174,8 @@ def make_sharded_fm_step(model, mesh):
     if use_pfb:
         from gsdr_tpu.ops.pfb import uniform_grid
 
-        grid = uniform_grid(shifts, model.sample_rate)
+        grid = uniform_grid(shifts, model.sample_rate,
+                            multiple_of=dec)
         if grid is None or grid[0] % dec != 0:
             raise ValueError(
                 "impl='pfb' needs every channel shift on an Fs/K grid "
@@ -382,7 +383,8 @@ def make_sharded_am_step(model, mesh):
     if use_pfb:
         from gsdr_tpu.ops.pfb import uniform_grid
 
-        grid = uniform_grid(shifts_am, model.sample_rate)
+        grid = uniform_grid(shifts_am, model.sample_rate,
+                            multiple_of=dec)
         if grid is None or grid[0] % dec != 0:
             raise ValueError(
                 "impl='pfb' needs every channel shift on an Fs/K grid "

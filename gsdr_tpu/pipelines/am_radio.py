@@ -101,13 +101,22 @@ class AmReceiver:
         m_out = (buf.shape[-1] - t) // self.decimation + 1
         impl = self.impl
         if impl == "auto" and is_tpu_backend():
-            # prefer the PFB front where the measured win rule holds
-            # (uniform grid, long filter, near-critical decimation)
+            # prefer the PFB front where the measured win rule holds AND
+            # the plan is feasible (a silent auto flip must never turn a
+            # previously-working config into an error)
+            from gsdr_tpu.kernels.fm_chain_pallas import pfb_am_chain_plan
             from gsdr_tpu.ops.pfb import pfb_preferred
 
-            if pfb_preferred(self._shifts(), self.sample_rate,
-                             self.decimation, t) is not None:
-                impl = "pfb"
+            grid = pfb_preferred(self._shifts(), self.sample_rate,
+                                 self.decimation, t)
+            if grid is not None:
+                try:
+                    pfb_am_chain_plan(
+                        self.low_pass_taps, self.decimation, buf.shape[-1],
+                        grid[1], grid[0], precision=self.precision)
+                    impl = "pfb"
+                except ValueError:
+                    pass  # infeasible geometry: keep the dense auto path
         use_pallas = impl == "pallas" or (
             impl == "auto"
             and is_tpu_backend()
@@ -127,7 +136,8 @@ class AmReceiver:
                 uniform_grid,
             )
 
-            grid = uniform_grid(self._shifts(), self.sample_rate)
+            grid = uniform_grid(self._shifts(), self.sample_rate,
+                                multiple_of=self.decimation)
             if grid is None or grid[0] % self.decimation != 0:
                 raise ValueError(
                     "impl='pfb' needs every channel shift on an Fs/K grid "

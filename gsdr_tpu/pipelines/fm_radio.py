@@ -172,12 +172,26 @@ class FmChannelizer:
         impl = self.impl
         if impl == "auto" and is_tpu_backend():
             # prefer the PFB front where the measured win rule holds
-            # (uniform grid, long filter, near-critical decimation)
+            # (uniform grid, long filter, near-critical decimation) AND
+            # the plan is actually feasible — pfb_preferred's rule does
+            # not know the VMEM budget, and a silent auto flip must never
+            # turn a previously-working config into an error
+            from gsdr_tpu.kernels.fm_chain_pallas import pfb_fm_chain_plan
             from gsdr_tpu.ops.pfb import pfb_preferred
 
-            if pfb_preferred(self._shifts(), self.sample_rate,
-                             self.decimation, t) is not None:
-                impl = "pfb"
+            grid = pfb_preferred(self._shifts(), self.sample_rate,
+                                 self.decimation, t)
+            if grid is not None:
+                try:
+                    b_, a_ = self._deemph()
+                    pfb_fm_chain_plan(
+                        self.low_pass_taps, self.decimation, self.gain,
+                        b_, a_, buf.shape[-1], tuple(self._shifts()),
+                        self.sample_rate, grid[1], grid[0],
+                        precision=self.precision)
+                    impl = "pfb"
+                except ValueError:
+                    pass  # infeasible geometry: keep the dense auto path
         use_pallas = impl == "pallas" or (
             impl == "auto" and is_tpu_backend() and fused_ok)
         if impl == "auto" and is_tpu_backend() and not fused_ok:
@@ -217,7 +231,8 @@ class FmChannelizer:
                 uniform_grid,
             )
 
-            grid = uniform_grid(self._shifts(), self.sample_rate)
+            grid = uniform_grid(self._shifts(), self.sample_rate,
+                                multiple_of=self.decimation)
             if grid is None or grid[0] % self.decimation != 0:
                 raise ValueError(
                     "impl='pfb' needs every channel shift on an Fs/K grid "

@@ -183,6 +183,20 @@ class TestUniformGridBank:
         # off-grid spacing (the run_all fm64 config class)
         off = [-480_000.0 + 15_000.0 * i for i in range(64)]
         assert pfb_preferred(off, 1e6, 64, 512) is None
+        # shifts on EVEN bins of an Fs/64 grid: the minimal k is 32, but
+        # D=64 needs k lifted to lcm(32, 64) = 64 (code-review round 4)
+        even = [2 * i * 1e6 / 64 for i in range(8)]
+        got = pfb_preferred(even, 1e6, 64, 512)
+        assert got is not None and got[0] == 64 and got[1][1] == 2
+
+    def test_uniform_grid_multiple_of(self):
+        from gsdr_tpu.ops.pfb import uniform_grid
+
+        k, bins = uniform_grid([2 * FS / 64], FS, multiple_of=64)
+        assert k == 64 and bins == [2]
+        # lifting past max_k -> rejected
+        assert uniform_grid([FS / 64], FS, max_k=100, multiple_of=3000) \
+            is None
 
     def test_non_grid_config_rejected(self):
         import dataclasses as dc
@@ -278,6 +292,46 @@ class TestPfbSynthesis:
         gotc = np.concatenate([np.asarray(c1.re), np.asarray(c2.re)],
                               axis=-1)
         np.testing.assert_array_equal(gotc, np.asarray(wantc.re))
+
+    def test_streaming_short_blocks_exact(self):
+        """Blocks SHORTER than the carried tail must still compose exactly
+        (the tail comes from the concatenated stream — code-review
+        round 4: a short block used to silently truncate the tail)."""
+        from gsdr_tpu.ops.pfb import (
+            pfb_channelize_block,
+            pfb_synthesize_block,
+        )
+
+        k, q = 16, 8
+        taps = _lowpass(k * q, 0.4 / k)
+        rng = np.random.default_rng(11)
+        m = 64
+        y = ComplexArray(
+            jnp.asarray(rng.standard_normal((k, m)), jnp.float32),
+            jnp.asarray(rng.standard_normal((k, m)), jnp.float32))
+        want, _ = pfb_synthesize_block(y, taps, k)
+        got, tail = [], None
+        for lo, hi in ((0, 3), (3, 5), (5, 40), (40, m)):  # 3,2,35,24 cols
+            o, tail = pfb_synthesize_block(y[..., lo:hi], taps, k,
+                                           tail=tail)
+            got.append(np.asarray(o.re))
+        # allclose, not equal: different conv lengths vectorize with
+        # different reduction associations (~1 ulp)
+        np.testing.assert_allclose(np.concatenate(got),
+                                   np.asarray(want.re),
+                                   rtol=1e-6, atol=1e-6)
+
+        n = k * 64
+        x = _planar(n)
+        wantc, _ = pfb_channelize_block(x, taps, k)
+        gotc, ctail = [], None
+        for lo, hi in ((0, k * 2), (k * 2, k * 3), (k * 3, n)):
+            o, ctail = pfb_channelize_block(x[..., lo:hi], taps, k,
+                                            tail=ctail)
+            gotc.append(np.asarray(o.re))
+        np.testing.assert_allclose(np.concatenate(gotc, axis=-1),
+                                   np.asarray(wantc.re),
+                                   rtol=1e-6, atol=1e-6)
 
     def test_batch_axis(self):
         from gsdr_tpu.ops.pfb import pfb_synthesize
