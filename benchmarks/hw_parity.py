@@ -10,7 +10,10 @@ covers the REST of the kernel surface on the attached chip:
   * pole-diagonalized IIR kernel (order 2 and 4)
   * QPSK256 Pallas NN demod vs the XLA matmul+argmin path
 
-Run:  python -m benchmarks.hw_parity     (one JSON line per check)
+Run:  python -m benchmarks.hw_parity [--json OUT.json]
+(one JSON line per check; --json additionally writes every check + the
+verdict to one committed artifact, so per-round kernel-class evidence is
+driver-visible — VERDICT round-4 weak #6).
 Keep shapes small — remote compiles cost 10s-100s of seconds each.
 """
 
@@ -28,6 +31,8 @@ from gsdr_tpu.carray import ComplexArray
 
 RNG = np.random.default_rng(42)
 
+RESULTS = []  # every _report row, for the --json artifact
+
 
 def _planar(n, scale=1.0):
     return ComplexArray(
@@ -38,8 +43,10 @@ def _planar(n, scale=1.0):
 
 def _report(name, err, bound):
     ok = bool(err < bound)
-    print(json.dumps({"check": name, "max_rel_err": round(float(err), 8),
-                      "bound": bound, "ok": ok}), flush=True)
+    row = {"check": name, "max_rel_err": round(float(err), 8),
+           "bound": bound, "ok": ok}
+    RESULTS.append(row)
+    print(json.dumps(row), flush=True)
     return ok
 
 
@@ -250,6 +257,46 @@ def check_pfb_fm():
                 / np.max(np.abs(y1)))
     ok = _report("pfb_fm_fused_16ch_d4_t128", err, 2e-3)
 
+    # ODD fold tap count (advisor round 4): Q = ceil(85/16) = 6 with a
+    # ragged last fold row — the (bs + Q)-row roll span is not 8-sublane
+    # aligned; only the CPU interpret test covered this class before, and
+    # this kernel family has passed interpret while crashing Mosaic on HW.
+    modd = dc.replace(m, low_pass_taps=lowpass(85, 0.4 / k))
+    mpodd = dc.replace(modd, impl="pfb")
+    _, yo1 = modd.step(modd.init(), rf)
+    _, yo2 = mpodd.step(mpodd.init(), rf)
+    yo1, yo2 = np.asarray(yo1), np.asarray(yo2)
+    err = float(np.max(np.abs(yo1[:, 256:] - yo2[:, 256:]))
+                / np.max(np.abs(yo1)))
+    ok &= _report("pfb_fm_fused_16ch_d4_t85_oddq", err, 2e-3)
+
+    # K=64 wide-grid geometry (advisor round 4): the wideband 64-channel
+    # class from the round-4 perf tables, never HW-compiled in this suite
+    # (2K = 128-lane DFT bank, critical decimation, Q=8).
+    k64 = 64
+    m64 = FmChannelizer(
+        sample_rate=fs, tuning_frequency=0.0,
+        channel_frequencies=tuple(
+            -fs / 2 + (fs / k64) * i for i in range(k64)),
+        frequency_deviation=75_000.0, decimation=16,
+        low_pass_taps=lowpass(512, 0.4 / k64), impl="xla")
+    mp64 = dc.replace(m64, impl="pfb")
+    n64 = 32768
+    tt64 = np.arange(n64) / fs
+    sig64 = np.zeros(n64, np.complex128)
+    for c in range(0, k64, 5):
+        f = m64.channel_frequencies[c]
+        msg = np.sin(2 * np.pi * (500.0 + 23.0 * c) * tt64)
+        sig64 += 0.02 * np.exp(1j * (2 * np.pi * f * tt64 + 0.3 * msg))
+    rf64 = ComplexArray(jnp.asarray(sig64.real, jnp.float32),
+                        jnp.asarray(sig64.imag, jnp.float32))
+    _, w1 = m64.step(m64.init(), rf64)
+    _, w2 = mp64.step(mp64.init(), rf64)
+    w1, w2 = np.asarray(w1), np.asarray(w2)
+    err = float(np.max(np.abs(w1[:, 256:] - w2[:, 256:]))
+                / np.max(np.abs(w1)))
+    ok &= _report("pfb_fm_fused_64ch_d16_t512", err, 2e-3)
+
     # AM PFB front (wideband shape class: critical decimation, Q=8)
     from gsdr_tpu.pipelines import AmReceiver
 
@@ -297,7 +344,14 @@ def check_qpsk256():
     return _report("qpsk256_pallas_vs_xla", mismatch, 1e-9)
 
 
-def main():
+def main(argv=None):
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--json", metavar="PATH", default=None,
+                    help="also write all checks + verdict to one JSON file")
+    args = ap.parse_args(argv)
+
     ok = True
     ok &= check_channelizer()
     ok &= check_am()
@@ -306,6 +360,19 @@ def main():
     ok &= check_iir()
     ok &= check_qpsk256()
     print(json.dumps({"all_ok": bool(ok)}), flush=True)
+    if args.json:
+        import datetime
+        import jax
+
+        with open(args.json, "w") as f:
+            json.dump({
+                "date": datetime.date.today().isoformat(),
+                "backend": jax.devices()[0].platform,
+                "num_checks": len(RESULTS),
+                "all_ok": bool(ok),
+                "checks": RESULTS,
+            }, f, indent=1)
+            f.write("\n")
     raise SystemExit(0 if ok else 1)
 
 

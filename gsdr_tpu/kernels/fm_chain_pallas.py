@@ -919,6 +919,30 @@ def _fm_chain_kernel(*refs,
         carry_ref[:, 0:2] = fcar0_ref[:, :]
         carry_ref[:, 2:3] = zcar0_ref[:, :]
 
+    if ablate == "grid":
+        # Pure grid/DMA probe (round 5, VERDICT #3): identical grid,
+        # BlockSpecs and scratch to the full kernel, NO compute — measures
+        # the per-step grid machinery + input/output block DMA directly
+        # instead of inferring "intrinsic overhead" by elimination. One
+        # element read off the input block keeps its fetch live; it stages
+        # through a (1, bn) row via a non-foldable where (Mosaic cannot
+        # broadcast (1,1) to (rows, bn) directly — CLAUDE.md gotcha), and
+        # the audio block fills from a host-table slice (sublane-only
+        # broadcast add).
+        x00 = xq_refs[0][0:1, 0:1]
+        bn_full = audio_ref.shape[1]
+        row = jnp.where(jpow_ref[0:1, :bn_full] < 2.0, x00, 0.0)  # (1, bn)
+        audio_ref[:, :] = pj_ref[0:audio_ref.shape[0], :] + row
+
+        @pl.when(i == n_i - 1)
+        def _():
+            # plain 2D slice copies — the input dependence rides on the
+            # audio write; a (1,1)+slice add here would be the combined
+            # sublane+lane broadcast Mosaic rejects
+            fcar_ref[:, :] = pj_ref[:fcar_ref.shape[0], 0:2]
+            zcar_ref[:, :] = pj_ref[:zcar_ref.shape[0], 0:1]
+        return
+
     # ---- 1) stacked windows + tap-bank contraction -----------------------
     # MXU phase: with n_sub > 1 the block's columns split into n_sub
     # sub-blocks; sub-block dots have no data dependence on the
@@ -964,8 +988,11 @@ def _fm_chain_kernel(*refs,
         ys[s] = _issue(s)
     if ablate == "dot":
         if front == "pfb":
-            raise NotImplementedError(
-                "ablate='dot' is a Toeplitz-front measurement hook")
+            # per-p fold+dot pieces: stitch each phase across sub-blocks
+            # (round 5 — the PFB front's stage accounting, VERDICT #1)
+            return _early_out(
+                [jnp.concatenate([ys[s][r] for s in range(n_sub)], axis=1)
+                 if n_sub > 1 else ys[0][r] for r in range(r_stack)])
         return _early_out(
             [jnp.concatenate(ys, axis=1) if n_sub > 1 else ys[0]])
 

@@ -280,6 +280,13 @@ def pfb_channelize_block(x, taps, num_channels, tail=None, impl="xla"):
     (tested)."""
     k = int(num_channels)
     xp = x if is_planar(x) else ComplexArray.from_complex(jnp.asarray(x))
+    if xp.shape[-1] % k != 0:
+        # A non-K-multiple block would silently restart frames at a non-K
+        # offset for every subsequent block (the carried tail is always a
+        # K-multiple) — wrong output with no error (advisor, round 4).
+        raise ValueError(
+            f"block length {xp.shape[-1]} must be a multiple of "
+            f"num_channels={k} (frame alignment across blocks)")
     q = -(-len(np.asarray(taps)) // k)
     hist = (q - 1) * k
     if tail is None:

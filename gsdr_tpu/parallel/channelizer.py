@@ -176,7 +176,9 @@ def make_sharded_fm_step(model, mesh):
 
         grid = uniform_grid(shifts, model.sample_rate,
                             multiple_of=dec)
-        if grid is None or grid[0] % dec != 0:
+        # uniform_grid(multiple_of=D) lifts k to an lcm with D or returns
+        # None, so D | grid[0] holds whenever grid exists.
+        if grid is None:
             raise ValueError(
                 "impl='pfb' needs every channel shift on an Fs/K grid "
                 f"with D | K (Fs={model.sample_rate}, D={dec})")
@@ -385,7 +387,9 @@ def make_sharded_am_step(model, mesh):
 
         grid = uniform_grid(shifts_am, model.sample_rate,
                             multiple_of=dec)
-        if grid is None or grid[0] % dec != 0:
+        # uniform_grid(multiple_of=D) lifts k to an lcm with D or returns
+        # None, so D | grid[0] holds whenever grid exists.
+        if grid is None:
             raise ValueError(
                 "impl='pfb' needs every channel shift on an Fs/K grid "
                 f"with D | K (Fs={model.sample_rate}, D={dec})")

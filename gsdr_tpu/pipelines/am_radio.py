@@ -100,6 +100,8 @@ class AmReceiver:
 
         m_out = (buf.shape[-1] - t) // self.decimation + 1
         impl = self.impl
+        pfb_plan = None  # validated plan carried into the dispatch below
+        pfb_grid = None
         if impl == "auto" and is_tpu_backend():
             # prefer the PFB front where the measured win rule holds AND
             # the plan is feasible (a silent auto flip must never turn a
@@ -111,9 +113,10 @@ class AmReceiver:
                                  self.decimation, t)
             if grid is not None:
                 try:
-                    pfb_am_chain_plan(
+                    pfb_plan = pfb_am_chain_plan(
                         self.low_pass_taps, self.decimation, buf.shape[-1],
                         grid[1], grid[0], precision=self.precision)
+                    pfb_grid = grid
                     impl = "pfb"
                 except ValueError:
                     pass  # infeasible geometry: keep the dense auto path
@@ -136,21 +139,27 @@ class AmReceiver:
                 uniform_grid,
             )
 
-            grid = uniform_grid(self._shifts(), self.sample_rate,
-                                multiple_of=self.decimation)
-            if grid is None or grid[0] % self.decimation != 0:
+            grid = pfb_grid if pfb_grid is not None else uniform_grid(
+                self._shifts(), self.sample_rate,
+                multiple_of=self.decimation)
+            # uniform_grid(multiple_of=D) lifts k to an lcm with D or
+            # returns None, so D | grid[0] holds whenever grid exists.
+            if grid is None:
                 raise ValueError(
                     "impl='pfb' needs every channel shift on an Fs/K grid "
                     f"with D | K (Fs={self.sample_rate}, "
                     f"D={self.decimation})")
             if impl == "pfb_pallas" or is_tpu_backend():
                 from gsdr_tpu.kernels.fm_chain_pallas import (
-                    pfb_am_chain_pallas,
+                    am_chain_apply,
+                    pfb_am_chain_plan,
                 )
 
-                audio = pfb_am_chain_pallas(
-                    buf, self.low_pass_taps, self.decimation,
-                    grid[1], grid[0], precision=self.precision)
+                if pfb_plan is None:  # auto already built + validated one
+                    pfb_plan = pfb_am_chain_plan(
+                        self.low_pass_taps, self.decimation, buf.shape[-1],
+                        grid[1], grid[0], precision=self.precision)
+                audio = am_chain_apply(pfb_plan, buf)
                 new_tail = buf[..., buf.shape[-1] - (t - 1):]
                 n0_new = (n0 + jnp.int32(n % fs)) % fs
                 return (n0_new, new_tail), audio

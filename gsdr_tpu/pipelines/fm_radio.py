@@ -170,6 +170,8 @@ class FmChannelizer:
         fused_ok = fused_chain_supported(self.decimation, t, m_out,
                                          self.num_channels)
         impl = self.impl
+        pfb_plan = None  # validated plan carried into the dispatch below
+        pfb_grid = None
         if impl == "auto" and is_tpu_backend():
             # prefer the PFB front where the measured win rule holds
             # (uniform grid, long filter, near-critical decimation) AND
@@ -184,11 +186,12 @@ class FmChannelizer:
             if grid is not None:
                 try:
                     b_, a_ = self._deemph()
-                    pfb_fm_chain_plan(
+                    pfb_plan = pfb_fm_chain_plan(
                         self.low_pass_taps, self.decimation, self.gain,
                         b_, a_, buf.shape[-1], tuple(self._shifts()),
                         self.sample_rate, grid[1], grid[0],
                         precision=self.precision)
+                    pfb_grid = grid
                     impl = "pfb"
                 except ValueError:
                     pass  # infeasible geometry: keep the dense auto path
@@ -231,28 +234,33 @@ class FmChannelizer:
                 uniform_grid,
             )
 
-            grid = uniform_grid(self._shifts(), self.sample_rate,
-                                multiple_of=self.decimation)
-            if grid is None or grid[0] % self.decimation != 0:
+            grid = pfb_grid if pfb_grid is not None else uniform_grid(
+                self._shifts(), self.sample_rate,
+                multiple_of=self.decimation)
+            # uniform_grid(multiple_of=D) lifts k to an lcm with D or
+            # returns None, so D | grid[0] holds whenever grid exists.
+            if grid is None:
                 raise ValueError(
                     "impl='pfb' needs every channel shift on an Fs/K grid "
                     f"with D | K (shifts={self._shifts()[:4]}..., "
                     f"Fs={self.sample_rate}, D={self.decimation})")
             if impl == "pfb_pallas" or is_tpu_backend():
                 from gsdr_tpu.kernels.fm_chain_pallas import (
-                    pfb_fm_chain_pallas,
+                    fm_chain_apply,
+                    pfb_fm_chain_plan,
                 )
 
                 rot0 = (n0 + jnp.int32(fs - (t - 1) % fs)) % fs
-                b_, a_ = self._deemph()
-                audio, new_carry, new_zi = pfb_fm_chain_pallas(
-                    buf, self.low_pass_taps, self._lo_table(), rot0,
-                    self.decimation, self.gain, b_, a_,
-                    disc_carry, deemph_zi,
-                    shifts_hz=tuple(self._shifts()),
-                    sample_rate=self.sample_rate,
-                    grid_bins=grid[1], k_grid=grid[0],
-                    precision=self.precision)
+                if pfb_plan is None:  # auto already built + validated one
+                    b_, a_ = self._deemph()
+                    pfb_plan = pfb_fm_chain_plan(
+                        self.low_pass_taps, self.decimation, self.gain,
+                        b_, a_, buf.shape[-1], tuple(self._shifts()),
+                        self.sample_rate, grid[1], grid[0],
+                        precision=self.precision)
+                audio, new_carry, new_zi = fm_chain_apply(
+                    pfb_plan, buf, self._lo_table(), rot0,
+                    disc_carry, deemph_zi)
                 new_tail = buf[..., buf.shape[-1] - (t - 1):]
                 n0_new = (n0 + jnp.int32(n % fs)) % fs
                 return (n0_new, new_tail, new_carry, new_zi), audio

@@ -62,26 +62,65 @@ class MixerStream:
     """Streaming frequency shift by ``freq_shift_hz`` with exact phase
     continuity.
 
-    State is the global sample offset reduced mod sample_rate (int32) — the
-    functional form of the reference's firstSampleIndex-mod-Fs contract
-    (src/am.cu:67), carried by the framework instead of the caller.
-
-    Phase-continuity caveat: reducing the offset mod round(Fs) is exact
-    only for integral Fs and integral shift frequencies (frac(f*(n+Fs)/Fs)
-    == frac(f*n/Fs) requires f*Fs/Fs integral). With a non-integral shift
-    frequency the LO phase jumps by frac(f) cycles every Fs samples; quantize
-    such frequencies to 1 Hz (negligible for RF channel offsets) or scale
-    Fs/f to an integral pair before constructing the stream.
+    State is the global sample offset reduced mod the LO's true period
+    (int32) — the functional form of the reference's
+    firstSampleIndex-mod-Fs contract (src/am.cu:67), carried by the
+    framework instead of the caller, and made EXACT for any rational
+    f/Fs ratio: the wrap modulus is round(Fs) when the phase is periodic
+    there (integral shifts at integral rates — the common case), else the
+    exact period q of frac(f*n/Fs) (f/Fs = p/q reduced over the floats'
+    exact binary values) when q fits an int32 index budget. A ratio whose
+    reduced denominator exceeds 2^24 (e.g. freq_shift_hz=0.1 — the float
+    0.1 is not 1/10) has no representable period; construction WARNS and
+    the LO phase then jumps by frac(f*round(Fs)/Fs) cycles every round(Fs)
+    samples — quantize such shifts to 1 Hz or pick an exactly
+    representable ratio (0.125 Hz, 1/2^k multiples, ...).
     """
 
     freq_shift_hz: float
     sample_rate: float
 
+    # q above this has no headroom under the int32 digit-table index
+    # budget (state + block must stay < 2^31)
+    _MAX_PERIOD = 1 << 24
+
+    def __post_init__(self):
+        if self._exact_period() is None:
+            import warnings
+            warnings.warn(
+                f"MixerStream(freq_shift_hz={self.freq_shift_hz}, "
+                f"sample_rate={self.sample_rate}): the f/Fs ratio's exact "
+                f"period exceeds {self._MAX_PERIOD} samples, so streaming "
+                "phase continuity is APPROXIMATE (a frac-cycle LO jump "
+                "every ~Fs samples). Quantize the shift to an exactly "
+                "representable ratio (integral Hz at integral Fs, or "
+                "1/2^k Hz multiples).",
+                stacklevel=3)
+
+    def _exact_period(self):
+        """Smallest m with frac(f*(n+m)/Fs) == frac(f*n/Fs) for all n, as
+        an int within the index budget — None when it doesn't fit."""
+        from fractions import Fraction
+
+        fs = Fraction(float(self.sample_rate))
+        if fs <= 0:
+            return None
+        q = (Fraction(float(self.freq_shift_hz)) / fs).denominator
+        return q if q <= self._MAX_PERIOD else None
+
+    def _wrap_modulus(self):
+        m = max(1, int(round(self.sample_rate)))
+        q = self._exact_period()
+        if q is None:
+            return m  # approximate legacy behavior (warned at construction)
+        # keep the historical mod-Fs state when it is already exact
+        return m if m % q == 0 else q
+
     def _table(self):
         return phase_digit_table([self.freq_shift_hz], self.sample_rate)[0]
 
     def init(self, first_sample_index=0):
-        n0 = int(first_sample_index) % int(round(self.sample_rate))
+        n0 = int(first_sample_index) % self._wrap_modulus()
         return jnp.asarray(n0, jnp.int32)
 
     def step(self, state, x):
@@ -89,8 +128,8 @@ class MixerStream:
         idx = state + jnp.arange(n, dtype=jnp.int32)
         frac = phase_fraction_from_table(idx, jnp.asarray(self._table()))
         lo = expj(_TWO_PI * frac)
-        fs = int(round(self.sample_rate))
-        new_state = (state + jnp.int32(n % fs)) % fs
+        m = self._wrap_modulus()
+        new_state = (state + jnp.int32(n % m)) % m
         if is_planar(x):
             return new_state, x * lo
         return new_state, jnp.asarray(x) * lo.to_complex()

@@ -15,14 +15,12 @@ sample index into base-256 digits: n = sum_d digit_d * 256^d. Then
     frac(f*n/Fs) = frac( sum_d digit_d * frac(f * 256^d / Fs) )
 
 The per-digit fractions frac(f * 256^d / Fs) are computed host-side in exact
-arbitrary-precision integer arithmetic when f and Fs are integral (the common
-SDR case), else in float64. On device each term is digit (< 256) times a
+arbitrary-precision rational arithmetic on the exact binary values of f and
+Fs (every float IS a rational), for integral and non-integral rates alike. On device each term is digit (< 256) times a
 fraction (< 1), so every intermediate stays < 256 and float32 rounding error
 is bounded by ~#digits * 256 * 2^-24 ~ 6e-5 cycles (~4e-4 rad) regardless of
 stream length. The reference's own float32 phase path is far looser.
 """
-
-import math
 
 import jax.numpy as jnp
 
@@ -34,18 +32,23 @@ _BASE = 1 << _BASE_BITS
 def digit_fractions(freq_hz, sample_rate):
     """Host-side per-digit phase fractions frac(freq * 256^d / Fs), d=0..3.
 
-    Exact (arbitrary-precision) when both freq and Fs are integral; float64
-    otherwise. Returns a list of Python floats in [0, 1).
+    Exact (arbitrary-precision rational arithmetic on the exact binary
+    values of the float inputs) for ANY freq/Fs; negative frequencies
+    reduce into [0, 1). Returns a list of Python floats in [0, 1).
     """
+    # Every float is an exact binary rational, so frac(f * 256^d / Fs) is
+    # computable exactly for ANY float inputs via Fraction arithmetic (the
+    # former float64-fmod fallback for non-integral rates accumulated
+    # rounding in the high digits). The only remaining error is the final
+    # rounding of each fraction to float, same as the integral case.
+    from fractions import Fraction
+
+    ratio = Fraction(float(freq_hz)) / Fraction(float(sample_rate))
     fr = []
-    f, fs = float(freq_hz), float(sample_rate)
-    integral = f.is_integer() and fs.is_integer()
     for d in range(_NUM_DIGITS):
-        if integral:
-            num = (int(f) * (_BASE ** d)) % int(fs)
-            fr.append(num / int(fs))
-        else:
-            fr.append(math.fmod(f * (_BASE ** d), fs) / fs)
+        x = ratio * (_BASE ** d)
+        x -= x.numerator // x.denominator  # frac(), exact
+        fr.append(x.numerator / x.denominator)
     return fr
 
 
@@ -84,17 +87,7 @@ def phase_digit_table(freqs_hz, sample_rate):
     """
     import numpy as np
 
-    rows = []
-    for f in freqs_hz:
-        f, fs = float(f), float(sample_rate)
-        if f.is_integer() and fs.is_integer():
-            fi, fsi = int(f) % int(fs), int(fs)
-            rows.append([((fi * (_BASE ** d)) % fsi) / fsi for d in range(_NUM_DIGITS)])
-        else:
-            f = math.fmod(f, fs)
-            if f < 0:
-                f += fs
-            rows.append([math.fmod(f * (_BASE ** d), fs) / fs for d in range(_NUM_DIGITS)])
+    rows = [digit_fractions(f, sample_rate) for f in freqs_hz]
     return np.asarray(rows, dtype=np.float32)
 
 
@@ -125,10 +118,9 @@ def phase_fraction_offset(first_sample_index, freq_hz, sample_rate):
     float32 starting fraction, so devices only ever see block-local indices:
     frac(f*(n0+i)/Fs) = frac(frac(f*n0/Fs) + frac(f*i/Fs)).
     """
-    f, fs = float(freq_hz), float(sample_rate)
-    n0 = int(first_sample_index)
-    if f.is_integer() and fs.is_integer():
-        return ((int(f) * n0) % int(fs)) / int(fs)
-    # float64 fallback for non-integral rates; error grows with n0 but the
-    # integral path covers all realistic SDR configurations exactly.
-    return (f * n0 / fs) % 1.0
+    from fractions import Fraction
+
+    x = (Fraction(float(freq_hz)) / Fraction(float(sample_rate))
+         * int(first_sample_index))
+    x -= x.numerator // x.denominator  # frac(), exact for any float f/Fs
+    return x.numerator / x.denominator

@@ -1,0 +1,46 @@
+"""Wideband TX -> AWGN channel -> RX duplex loopback (round 5, VERDICT #6).
+
+End-to-end composition of the PFB SYNTHESIS bank (transmit combiner,
+ops/pfb.pfb_synthesize) against the uniform-grid FM channelizer: K FM
+channels synthesized into one wideband stream, AWGN added at a controlled
+SNR, then channelized + demodulated; every channel's audio must carry the
+transmitted tone at a bounded SNR. This is the analysis bank and the
+synthesis bank certifying each other — the reference has no channel
+combiner at all, and its AWGN-at-SNR recovery intent lives in
+/root/reference/tests/test_qpsk256.cpp:198-240.
+"""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), os.pardir))
+
+from examples.wideband_duplex import run_duplex  # noqa: E402
+
+
+@pytest.mark.parametrize("impl", ["xla", "pfb"])
+def test_duplex_loopback_recovers_all_channels(impl):
+    fs = 1_024_000.0
+    k = 8
+    tones, audio, snrs, peaks_ok = run_duplex(
+        fs, k, m_frames=2048, impl=impl, snr_db=30.0)
+    assert audio.shape == (k, 2048)
+    assert all(peaks_ok), f"tone peaks missed: {peaks_ok}"
+    # audio SNR bound: 30 dB channel SNR -> comfortably > 15 dB audio
+    # (FM processing gain vs filter-transition leakage; measured ~20+ dB)
+    assert snrs.min() > 15.0, f"audio SNRs {snrs}"
+
+
+def test_duplex_noise_floor_scales_with_channel_snr():
+    """Monotonicity (the reference's BER-vs-SNR pattern applied to the
+    duplex): more channel noise must not IMPROVE recovered audio."""
+    fs = 1_024_000.0
+    k = 8
+    _, _, snr_hi, _ = run_duplex(fs, k, m_frames=1536, impl="xla",
+                                 snr_db=35.0, seed=3)
+    _, _, snr_lo, _ = run_duplex(fs, k, m_frames=1536, impl="xla",
+                                 snr_db=10.0, seed=3)
+    assert snr_lo.mean() < snr_hi.mean()

@@ -502,6 +502,60 @@ class TestPfbFusedChain:
         assert np.allclose(outs[1][0], outs[2][0], atol=1e-5)
 
 
+class TestAblateCuts:
+    """Round-5 measurement hooks: ablate='grid' (pure grid/DMA probe —
+    the direct overhead measurement VERDICT #3 asked for) and the PFB
+    front's ablate='dot' (VERDICT #1 stage accounting) must trace and run
+    on both fronts; 'full' must equal the default exactly."""
+
+    FS = 1_024_000.0
+
+    def _apply_args(self, c, t, n_buf, seed=0):
+        from gsdr_tpu.utils.phase import phase_digit_table
+
+        rng = np.random.default_rng(seed)
+        buf = ComplexArray(
+            jnp.asarray(rng.standard_normal(n_buf), jnp.float32),
+            jnp.asarray(rng.standard_normal(n_buf), jnp.float32))
+        shifts = [b * self.FS / 16 for b in range(c)]
+        lo = phase_digit_table(shifts, self.FS)
+        cf = ComplexArray(jnp.zeros((c, 1), jnp.float32),
+                          jnp.zeros((c, 1), jnp.float32))
+        return buf, shifts, lo, cf
+
+    @pytest.mark.parametrize("front", ["toeplitz", "pfb"])
+    def test_cuts_run_and_full_matches_default(self, front):
+        from gsdr_tpu.kernels import fm_chain_pallas as fcp
+
+        c, d = 8, 4
+        t = 128 if front == "pfb" else 32
+        n_buf = 8192 + t - 1
+        buf, shifts, lo, cf = self._apply_args(c, t, n_buf)
+        taps = np.hamming(t) / np.hamming(t).sum()
+        if front == "pfb":
+            plan = fcp.pfb_fm_chain_plan(
+                taps, d, 2.0, (0.3, 0.3), (1.0, -0.4), n_buf, shifts,
+                self.FS, list(range(c)), 16)
+        else:
+            from gsdr_tpu.ops.channelize import make_complex_tap_bank
+
+            plan = fcp.fm_chain_plan(
+                make_complex_tap_bank(taps, shifts, self.FS), d, 2.0,
+                (0.3, 0.3), (1.0, -0.4), n_buf, shifts, self.FS)
+        zi = jnp.zeros((c, 1), jnp.float32)
+        want, f_w, z_w = fcp.fm_chain_apply(
+            plan, buf, lo, jnp.asarray(3, jnp.int32), cf, zi)
+        m = (n_buf - t) // d + 1
+        for ab in ("grid", "dot", "rotor", "disc", "full"):
+            au, f2, z2 = fcp.fm_chain_apply(
+                plan, buf, lo, jnp.asarray(3, jnp.int32), cf, zi,
+                ablate=ab)
+            assert au.shape == (c, m), (front, ab)
+        np.testing.assert_array_equal(np.asarray(au), np.asarray(want))
+        np.testing.assert_array_equal(np.asarray(f2.re), np.asarray(f_w.re))
+        np.testing.assert_array_equal(np.asarray(z2), np.asarray(z_w))
+
+
 class TestFusedChainFuzz:
     """Randomized geometry sweep (seeded): the fused FM chain must match
     the XLA chain with exact state continuation across arbitrary

@@ -293,6 +293,18 @@ class TestPfbSynthesis:
                               axis=-1)
         np.testing.assert_array_equal(gotc, np.asarray(wantc.re))
 
+    def test_streaming_block_must_be_k_multiple(self):
+        """A block whose length is not a K-multiple would silently restart
+        frame alignment for every later block (the carried tail is always
+        a K-multiple) — must raise, not corrupt (advisor, round 4)."""
+        from gsdr_tpu.ops.pfb import pfb_channelize_block
+
+        k, q = 8, 4
+        taps = _lowpass(k * q, 0.4 / k)
+        x = _planar(k * 50 + 3)  # not a multiple of K
+        with pytest.raises(ValueError, match="multiple of"):
+            pfb_channelize_block(x, taps, k)
+
     def test_streaming_short_blocks_exact(self):
         """Blocks SHORTER than the carried tail must still compose exactly
         (the tail comes from the concatenated stream — code-review
