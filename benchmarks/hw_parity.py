@@ -272,13 +272,14 @@ def check_pfb_fm():
 
     # K=64 wide-grid geometry (advisor round 4): the wideband 64-channel
     # class from the round-4 perf tables, never HW-compiled in this suite
-    # (2K = 128-lane DFT bank, critical decimation, Q=8).
+    # (2K = 128-lane DFT bank, Q=8). D=8 makes it P=8 — the phase count
+    # the round-5 win rule newly admits to auto-dispatch.
     k64 = 64
     m64 = FmChannelizer(
         sample_rate=fs, tuning_frequency=0.0,
         channel_frequencies=tuple(
             -fs / 2 + (fs / k64) * i for i in range(k64)),
-        frequency_deviation=75_000.0, decimation=16,
+        frequency_deviation=75_000.0, decimation=8,
         low_pass_taps=lowpass(512, 0.4 / k64), impl="xla")
     mp64 = dc.replace(m64, impl="pfb")
     n64 = 32768
@@ -295,7 +296,7 @@ def check_pfb_fm():
     w1, w2 = np.asarray(w1), np.asarray(w2)
     err = float(np.max(np.abs(w1[:, 256:] - w2[:, 256:]))
                 / np.max(np.abs(w1)))
-    ok &= _report("pfb_fm_fused_64ch_d16_t512", err, 2e-3)
+    ok &= _report("pfb_fm_fused_64ch_d8_t512_p8", err, 2e-3)
 
     # AM PFB front (wideband shape class: critical decimation, Q=8)
     from gsdr_tpu.pipelines import AmReceiver

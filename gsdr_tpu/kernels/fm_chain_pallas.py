@@ -103,20 +103,28 @@ def _pick_bn(n_cols, block_cols):
     return bn
 
 
-def _ns_candidate(bn_c, requested):
-    """Overlap split at a candidate block size: 'auto' = min(8, bn/128),
-    demoted until the sub-blocks are lane-aligned."""
-    ns = min(8, max(1, bn_c // _LANE)) if requested == "auto" \
+def _ns_candidate(bn_c, requested, auto_cap=8):
+    """Overlap split at a candidate block size: 'auto' = min(auto_cap,
+    bn/128), demoted until the sub-blocks are lane-aligned.
+
+    auto_cap is front-dependent (round 5): the dense Toeplitz kernel's
+    measured optimum is 8 (big K_toe dots to overlap under the VPU
+    stages), but the PFB FM front's exact-K dots are tiny — at
+    wb64c_t512 the whole fold+DFT phase is ~25-35 us — so an 8-way split
+    is pure sub-block granularity overhead. Measured (v5e, 2 rounds):
+    wb64c ns8 94-100 us vs ns2 64-79 (and ns1 77-93); oversampled P=4
+    ns8 330-339 vs ns2 291-293. PFB FM plans pass auto_cap=2."""
+    ns = min(auto_cap, max(1, bn_c // _LANE)) if requested == "auto" \
         else int(requested)
     while ns > 1 and (bn_c % ns != 0 or (bn_c // ns) % _LANE != 0):
         ns //= 2
     return ns
 
 
-def _resolve_n_sub(bn, requested, fn_name):
+def _resolve_n_sub(bn, requested, fn_name, auto_cap=8):
     """Final n_sub for a plan; warns when an explicit request is demoted
     (shared by all four chain plan builders)."""
-    ns = _ns_candidate(bn, requested)
+    ns = _ns_candidate(bn, requested, auto_cap)
     if requested != "auto" and int(requested) != ns:
         import warnings
         warnings.warn(
@@ -1435,7 +1443,7 @@ def fm_chain_plan(kernel_bank, decimation, gain, deemph_b, deemph_a,
 def pfb_fm_chain_plan(taps, decimation, gain, deemph_b, deemph_a,
                       n_buf, shifts_hz, sample_rate, grid_bins, k_grid,
                       block_n=4096, precision="bf16x3", n_sub="auto",
-                      cap_words=3_500_000, _force_bn=None):
+                      cap_words=3_200_000, _force_bn=None):
     """Plan the PFB-fronted fused FM chain (round 4) for channel shifts on
     the uniform grid shifts_hz[c] = grid_bins[c] * Fs / k_grid with
     decimation D | k_grid.
@@ -1449,6 +1457,12 @@ def pfb_fm_chain_plan(taps, decimation, gain, deemph_b, deemph_a,
     prototype filter is long relative to the grid (T > ~K/2) and is the
     TPU-native conclusion of the reference's multi-channel FM intent
     (/root/reference/src/fm.cu:71-179).
+
+    cap_words: the 3.2M default is a measured compile boundary, not a
+    footprint estimate — (P=8, bn=1024, n_sub=2) sits at 3.4M under the
+    liveness model and crashes the remote compiler (tpu_compile_helper
+    exit 1, round 5), while every <=3.2M geometry measured compiles; the
+    same class as the documented fm256 bn=256 crash edge.
     """
     kg, d, p_cnt, hp, q_fold = _check_pfb_grid(k_grid, decimation, taps)
     t_len = len(np.asarray(taps))
@@ -1460,7 +1474,10 @@ def pfb_fm_chain_plan(taps, decimation, gain, deemph_b, deemph_a,
     n_j_real = -(-m // r_stack)
 
     def _ns_at(bn_c):
-        return _ns_candidate(bn_c, n_sub)
+        # auto_cap=2: the PFB front's exact-K dots are tiny, so the dense
+        # kernel's 8-way overlap split only adds sub-block granularity
+        # overhead here (see _ns_candidate's measured ladder)
+        return _ns_candidate(bn_c, n_sub, auto_cap=2)
 
     if _force_bn is not None:
         bn = int(_force_bn)
@@ -1486,7 +1503,7 @@ def pfb_fm_chain_plan(taps, decimation, gain, deemph_b, deemph_a,
                 f"bn=128 ({_words(bn)} > {cap_words} words). Large-K "
                 f"grids with T < K also lose structurally (the DFT-bank "
                 f"dot does 4*C*K > 4*C*T MACs) — use the dense chain.")
-    n_sub = _resolve_n_sub(bn, n_sub, "pfb_fm_chain_plan")
+    n_sub = _resolve_n_sub(bn, n_sub, "pfb_fm_chain_plan", auto_cap=2)
     m_eff = -(-m // (r_stack * bn)) * (r_stack * bn)
     n_j = m_eff // r_stack
     g = _dft_bank_stacked(grid_bins, kg, c_eff)

@@ -78,13 +78,16 @@ def _dft_matrices(k):
 
 
 def pfb_preferred(shifts_hz, sample_rate, decimation, num_taps,
-                  max_p=4, min_q=4):
+                  max_p=8, min_q=4):
     """(k, bins) when the measured PFB-win rule holds for this config,
     else None: uniform Fs/k grid, D | k, k >= 8, Q = ceil(T/k) >= min_q
-    fold taps and P = k/D <= max_p output phases (the round-4 v5e
-    design-space table in BASELINE.md: long prototype filters at
+    fold taps and P = k/D <= max_p output phases (the round-4/5 v5e
+    design-space tables in BASELINE.md: long prototype filters at
     near-critical decimation win ~1.3-2.2x; short filters / heavy
-    oversampling lose). Drives the models' impl='auto' TPU dispatch."""
+    oversampling lose). Round 5 extended the boundary from P <= 4 to
+    P <= 8: with the PFB plans' n_sub=2 default the P=8 wideband config
+    measures 446-542 us vs the dense kernel's 743-750; P=16 still loses
+    (695 vs 428). Drives the models' impl='auto' TPU dispatch."""
     grid = uniform_grid(shifts_hz, sample_rate,
                         multiple_of=int(decimation))
     if grid is None:

@@ -79,11 +79,12 @@ class FmChannelizer:
     # forces the fused PFB kernel, interpret off-TPU). 'pfb' requires
     # every channel shift on an Fs/K grid with D | K, and WINS when the
     # prototype filter is long relative to the grid and decimation is
-    # near-critical (measured rule: Q = T/K >= 4 and P = K/D <= 4 — e.g.
-    # the 64-channel critical 512-tap wideband receiver runs 11.9 vs the
-    # dense kernel's 8.9 Gsps); short filters / heavy oversampling stay
-    # faster on the dense Toeplitz kernel (BASELINE.md round-4 PFB
-    # design-space table).
+    # near-critical (measured rule: Q = T/K >= 4 and P = K/D <= 8 — e.g.
+    # the 64-channel critical 512-tap wideband receiver measures 64-96 us
+    # vs the dense kernel's 117-123 at 2^20, and the P=8 oversampled
+    # class 446-542 vs 743-750); P >= 16 oversampling stays faster on
+    # the dense Toeplitz kernel (BASELINE.md round-4/5 PFB design-space
+    # tables).
     impl: str = "auto"
     # fused-kernel contraction grade: 'bf16x3' (default) | 'bf16x2'
     # (fast: one fewer MXU pass; signal quantized to bf16 ~ -54 dB, below
