@@ -285,7 +285,12 @@ def check_pfb_fm():
     n64 = 32768
     tt64 = np.arange(n64) / fs
     sig64 = np.zeros(n64, np.complex128)
-    for c in range(0, k64, 5):
+    # every channel carries a real FM signal: a SILENT channel's
+    # discriminator input is noise-level leakage and atan2 comparisons
+    # there are ill-posed between implementations (CLAUDE.md testing
+    # note — a sparse 1-in-5 excitation made this row read 0.44 on both
+    # backends from the silent channels alone)
+    for c in range(k64):
         f = m64.channel_frequencies[c]
         msg = np.sin(2 * np.pi * (500.0 + 23.0 * c) * tt64)
         sig64 += 0.02 * np.exp(1j * (2 * np.pi * f * tt64 + 0.3 * msg))

@@ -449,6 +449,23 @@ class TestPfbFusedChain:
         np.testing.assert_allclose(np.asarray(st_p[3]), np.asarray(st_x[3]),
                                    atol=5e-5)
 
+    def test_wide_grid_p8_matches_xla(self):
+        """K=64 / D=8 (P=8): the phase count the round-5 win rule newly
+        auto-dispatches, at the wide-grid K the suite never covered
+        (every channel excited — silent-channel discriminator
+        comparisons are ill-posed, CLAUDE.md testing note)."""
+        import dataclasses as dc
+
+        m_p = self._model(k=64, d=8, t=512)
+        m_x = dc.replace(m_p, impl="xla")
+        rf = self._rf(m_x, 16384, seed=5)
+        _, y_x = m_x.step(m_x.init(), rf)
+        _, y_p = m_p.step(m_p.init(), rf)
+        y_x, y_p = np.asarray(y_x), np.asarray(y_p)
+        scale = np.max(np.abs(y_x))
+        skip = 512 // 8 + 192
+        assert np.max(np.abs(y_x[:, skip:] - y_p[:, skip:])) / scale < 2e-3
+
     def test_interchangeable_with_dense_fused(self):
         """The PFB-fronted and Toeplitz-fronted fused kernels share the
         state pytree: a stream may switch between them mid-flight."""
