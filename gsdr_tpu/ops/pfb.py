@@ -81,20 +81,29 @@ def pfb_preferred(shifts_hz, sample_rate, decimation, num_taps,
                   max_p=8, min_q=4):
     """(k, bins) when the measured PFB-win rule holds for this config,
     else None: uniform Fs/k grid, D | k, k >= 8, Q = ceil(T/k) >= min_q
-    fold taps and P = k/D <= max_p output phases (the round-4/5 v5e
-    design-space tables in BASELINE.md: long prototype filters at
-    near-critical decimation win ~1.3-2.2x; short filters / heavy
-    oversampling lose). Round 5 extended the boundary from P <= 4 to
-    P <= 8: with the PFB plans' n_sub=2 default the P=8 wideband config
-    measures 446-542 us vs the dense kernel's 743-750; P=16 still loses
-    (695 vs 428). Drives the models' impl='auto' TPU dispatch."""
+    fold taps, P = k/D a power of two <= max_p, and the channel count
+    filling at least half the grid (the round-4/5 v5e design-space
+    tables in BASELINE.md: long prototype filters at near-critical
+    decimation win ~1.3-2.2x; short filters / heavy oversampling lose).
+    Round 5 extended the boundary from P <= 4 to P <= 8: with the PFB
+    plans' n_sub=2 default the P=8 wideband config measures 446-542 us
+    vs the dense kernel's 743-750; P=16 still loses (695 vs 428). The
+    C >= K/2 and pow2-P guards keep auto inside measured territory —
+    every PFB win was measured at C = K, and a 1-channel receiver that
+    happens to sit on a K=20 grid measured 15x SLOWER through the PFB
+    front (the fold + per-phase window traffic is per-grid work that
+    only amortizes over many channels; round-5 run_all catch). Drives
+    the models' impl='auto' TPU dispatch."""
     grid = uniform_grid(shifts_hz, sample_rate,
                         multiple_of=int(decimation))
     if grid is None:
         return None
     k, bins = grid
     d = int(decimation)
-    if k < 8 or k % d != 0 or k // d > int(max_p):
+    p = k // d
+    if k < 8 or k % d != 0 or p > int(max_p) or (p & (p - 1)) != 0:
+        return None
+    if 2 * len(bins) < k:
         return None
     q = -(-int(num_taps) // k)
     if q < int(min_q) or q > 127:

@@ -166,8 +166,9 @@ class TestUniformGridBank:
                                    atol=1e-6)
 
     def test_pfb_preferred_rule(self):
-        """The impl='auto' TPU dispatch rule encodes the measured round-4
-        win region: uniform grid, Q = T/K >= 4, P = K/D <= 4."""
+        """The impl='auto' TPU dispatch rule encodes the measured
+        round-4/5 win region: uniform grid, Q = T/K >= 4, P = K/D a
+        power of two <= 8, channel count filling >= half the grid."""
         from gsdr_tpu.ops.pfb import pfb_preferred
 
         k = 64
@@ -176,6 +177,8 @@ class TestUniformGridBank:
         assert pfb_preferred(grid_shifts, 1e6, 64, 512) is not None
         # 4x oversampled (P=4): still preferred
         assert pfb_preferred(grid_shifts, 1e6, 16, 512) is not None
+        # 8x oversampled (P=8): round-5 extension (ns=2 made it win)
+        assert pfb_preferred(grid_shifts, 1e6, 8, 512) is not None
         # heavy oversampling (P=16): dense wins -> not preferred
         assert pfb_preferred(grid_shifts, 1e6, 4, 512) is None
         # short filter (Q=1): dense wins
@@ -183,11 +186,20 @@ class TestUniformGridBank:
         # off-grid spacing (the run_all fm64 config class)
         off = [-480_000.0 + 15_000.0 * i for i in range(64)]
         assert pfb_preferred(off, 1e6, 64, 512) is None
-        # shifts on EVEN bins of an Fs/64 grid: the minimal k is 32, but
-        # D=64 needs k lifted to lcm(32, 64) = 64 (code-review round 4)
+        # UNDER-FILLED grid: 8 channels on even bins lift to K=64 (the
+        # round-4 grid-lift behavior, still tested via uniform_grid
+        # below) but C=8 < K/2 — the per-grid fold/window work only
+        # amortizes over many channels; a 1-channel AM config on a K=20
+        # grid measured 15x slower through the PFB front (round 5), so
+        # auto must stay dense here
         even = [2 * i * 1e6 / 64 for i in range(8)]
-        got = pfb_preferred(even, 1e6, 64, 512)
+        assert pfb_preferred(even, 1e6, 64, 512) is None
+        from gsdr_tpu.ops.pfb import uniform_grid
+        got = uniform_grid(even, 1e6, multiple_of=64)
         assert got is not None and got[0] == 64 and got[1][1] == 2
+        # non-power-of-two P (the AM-1ch K=20/P=5 class): unmeasured
+        # geometry, auto must stay dense
+        assert pfb_preferred([-100_000.0], 1e6, 4, 64) is None
 
     def test_uniform_grid_multiple_of(self):
         from gsdr_tpu.ops.pfb import uniform_grid
