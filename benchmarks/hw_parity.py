@@ -315,6 +315,40 @@ def check_pfb_fm():
     _, a2 = map_.step(map_.init(), rf)
     err = float(np.max(np.abs(np.asarray(a1) - np.asarray(a2))))
     ok &= _report("pfb_am_fused_16ch_d16_t128", err, 2e-3)
+
+    # AM at the P=8 phase count the round-5 rule newly auto-dispatches
+    ma8 = dc.replace(ma, decimation=2)  # K=16, D=2 -> P=8
+    map8 = dc.replace(ma8, impl="pfb")
+    _, b1 = ma8.step(ma8.init(), rf)
+    _, b2 = map8.step(map8.init(), rf)
+    err = float(np.max(np.abs(np.asarray(b1) - np.asarray(b2))))
+    ok &= _report("pfb_am_fused_16ch_d2_t128_p8", err, 2e-3)
+
+    # K=128 critical (2K = 256-lane DFT bank): the widest measured grid,
+    # 2.7x faster than dense in round 5 — every channel excited
+    k128 = 128
+    m128 = FmChannelizer(
+        sample_rate=fs, tuning_frequency=0.0,
+        channel_frequencies=tuple(
+            -fs / 2 + (fs / k128) * i for i in range(k128)),
+        frequency_deviation=75_000.0, decimation=128,
+        low_pass_taps=lowpass(1024, 0.4 / k128), impl="xla")
+    mp128 = dc.replace(m128, impl="pfb")
+    n128 = 65536
+    tt1 = np.arange(n128) / fs
+    sig1 = np.zeros(n128, np.complex128)
+    for c in range(k128):
+        f = m128.channel_frequencies[c]
+        msg = np.sin(2 * np.pi * (300.0 + 11.0 * c) * tt1)
+        sig1 += 0.008 * np.exp(1j * (2 * np.pi * f * tt1 + 0.3 * msg))
+    rf1 = ComplexArray(jnp.asarray(sig1.real, jnp.float32),
+                       jnp.asarray(sig1.imag, jnp.float32))
+    _, v1 = m128.step(m128.init(), rf1)
+    _, v2 = mp128.step(mp128.init(), rf1)
+    v1, v2 = np.asarray(v1), np.asarray(v2)
+    err = float(np.max(np.abs(v1[:, 128:] - v2[:, 128:]))
+                / np.max(np.abs(v1)))
+    ok &= _report("pfb_fm_fused_128ch_d128_t1024", err, 2e-3)
     return ok
 
 

@@ -144,7 +144,7 @@ def bench_pfb(n, iters, k=16, impl="xla"):
             "value": round(n / sec / 1e6, 2), "unit": "Msamples/s"}
 
 
-def bench_fm_wideband(n, iters, impl="pfb", dec=64):
+def bench_fm_wideband(n, iters, impl="pfb", dec=64, k=64):
     """Round-4 wideband uniform-grid FM chain: 64 channels on the Fs/64
     grid, critically decimated (D=64), 512-tap prototype (Q=8) — the
     realistic many-channel receiver shape where the PFB front's fold
@@ -152,18 +152,20 @@ def bench_fm_wideband(n, iters, impl="pfb", dec=64):
     fused kernel; impl='pallas' the dense Toeplitz fused kernel on the
     SAME config (the A/B partner; benchmarks/pfb_ab.py has the ladder).
     dec=8 is the P=8 oversampled class the round-5 win rule newly
-    auto-dispatches (pfb 446-553 vs dense 743-750 us at 2^20)."""
-    k = 64
+    auto-dispatches (pfb 446-553 vs dense 743-750 us at 2^20); k=128
+    (T=1024) is the widest measured grid — the PFB step is nearly
+    grid-independent at critical sampling (~65 us at K=64 AND K=128,
+    where dense reads 175-181)."""
     model = FmChannelizer(
         sample_rate=1e6, tuning_frequency=0.0,
         channel_frequencies=tuple(-(1e6 / k) * i for i in range(k)),
         frequency_deviation=75_000.0, decimation=dec,
-        low_pass_taps=_lowpass(512, 0.4 / k), impl=impl)
+        low_pass_taps=_lowpass(8 * k, 0.4 / k), impl=impl)
     rf = _noise(n)
-    mult = 20 if dec == 64 else 5
+    mult = 20 if dec == k else 5
     sec = time_step(model.step, model.init(), rf, iters=iters * mult)
     name = "crit" if dec == k else f"d{dec}"
-    return {"metric": f"fm_wideband_64ch_{name}_{impl}_input_msps",
+    return {"metric": f"fm_wideband_{k}ch_{name}_{impl}_input_msps",
             "value": round(n / sec / 1e6, 2), "unit": "Msamples/s"}
 
 
@@ -290,6 +292,7 @@ def main(argv=None):
         lambda: bench_fm_wideband(n, iters, impl="pfb"),
         lambda: bench_fm_wideband(n, iters, impl="pallas"),
         lambda: bench_fm_wideband(n, iters, impl="pfb", dec=8),
+        lambda: bench_fm_wideband(n, iters, impl="pfb", dec=128, k=128),
         lambda: bench_am_wideband(n, iters, impl="pfb"),
         lambda: bench_qpsk(n, iters),
         lambda: bench_qpsk256(min(n, 1 << 19), iters),

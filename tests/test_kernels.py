@@ -466,6 +466,22 @@ class TestPfbFusedChain:
         skip = 512 // 8 + 192
         assert np.max(np.abs(y_x[:, skip:] - y_p[:, skip:])) / scale < 2e-3
 
+    def test_k128_grid_matches_xla(self):
+        """K=128 critical (2K = 256-lane DFT bank): the widest grid class,
+        measured 2.7x faster than dense in round 5 — every channel
+        excited, parity vs the XLA chain."""
+        import dataclasses as dc
+
+        m_p = self._model(k=128, d=128, t=1024)
+        m_x = dc.replace(m_p, impl="xla")
+        rf = self._rf(m_x, 32768, seed=9)
+        _, y_x = m_x.step(m_x.init(), rf)
+        _, y_p = m_p.step(m_p.init(), rf)
+        y_x, y_p = np.asarray(y_x), np.asarray(y_p)
+        scale = np.max(np.abs(y_x))
+        skip = 1024 // 128 + 64
+        assert np.max(np.abs(y_x[:, skip:] - y_p[:, skip:])) / scale < 2e-3
+
     def test_interchangeable_with_dense_fused(self):
         """The PFB-fronted and Toeplitz-fronted fused kernels share the
         state pytree: a stream may switch between them mid-flight."""
@@ -622,6 +638,70 @@ class TestFusedChainFuzz:
             assert np.max(
                 np.abs(y_x[:, skip:] - y_p[:, skip:])) / scale < 3e-3, \
                 (seed, d, t, nch, n, blk)
+
+
+class TestPfbChainFuzz:
+    """Seeded random ON-GRID geometry sweep for the PFB-fronted fused FM
+    chain (the dense fuzz above cannot reach this front): random
+    (K, D | K, Q, C) with every channel excited, pfb_pallas vs the XLA
+    chain with exact state continuation — guards the fold/roll span,
+    DFT-bank slicing, phasor tables and pad-and-mask interplay across
+    the round-5-extended dispatch region (P up to 8, odd Q, C < K)."""
+
+    @pytest.mark.parametrize("seed", range(4))
+    def test_random_grid_parity(self, seed):
+        import dataclasses as dc
+
+        from gsdr_tpu.pipelines import FmChannelizer
+
+        r = np.random.default_rng(500 + seed)
+        k = int(r.choice([8, 16, 32, 64]))
+        p = int(r.choice([1, 2, 4, 8]))
+        if k // p < 1 or k % p != 0:
+            p = 1
+        d = k // p
+        q = int(r.integers(4, 10))
+        t = q * k - int(r.integers(0, k // 2))   # ragged fold tail too
+        nch = int(r.integers(max(1, k // 2), k + 1))  # C >= K/2 (rule)
+        fs = 1_024_000.0
+        n = d * int(r.integers(600, 1600))
+
+        def lowpass(nt, cf):
+            nn = np.arange(nt) - (nt - 1) / 2.0
+            h = np.sinc(2 * cf * nn) * np.hamming(nt)
+            return tuple((h / h.sum()).astype(np.float32).tolist())
+
+        m = FmChannelizer(
+            sample_rate=fs, tuning_frequency=0.0,
+            channel_frequencies=tuple(
+                -fs / 2 + (fs / k) * i for i in range(nch)),
+            frequency_deviation=75_000.0, decimation=d,
+            low_pass_taps=lowpass(t, 0.4 / k), impl="xla")
+        mp = dc.replace(m, impl="pfb_pallas")
+        # every channel excited (silent-channel discriminator comparisons
+        # are ill-posed — CLAUDE.md testing note / round-5 incident)
+        tt = np.arange(2 * n) / fs
+        sig = np.zeros(2 * n, np.complex128)
+        for c, f in enumerate(m.channel_frequencies):
+            msg = np.sin(2 * np.pi * (300.0 + 29.0 * c) * tt
+                         + r.uniform(0, 6))
+            sig += (0.5 / nch) * np.exp(
+                1j * (2 * np.pi * f * tt + 0.3 * msg))
+        rf = ComplexArray.from_complex(sig.astype(np.complex64))
+        st_x, st_p = m.init(), mp.init()
+        _, (one, a1) = m._deemph()
+        decay = int(np.ceil(np.log(1e4) / -np.log(min(abs(a1), 0.999))))
+        skip0 = min(n // d - 64, t // d + decay + 64)
+        for blk, skip in ((0, max(skip0, 1)), (1, 0)):
+            part = rf[..., blk * n:(blk + 1) * n]
+            st_x, y_x = m.step(st_x, part)
+            st_p, y_p = mp.step(st_p, part)
+            y_x, y_p = np.asarray(y_x), np.asarray(y_p)
+            assert y_p.shape == (nch, n // d)
+            scale = np.max(np.abs(y_x)) + 1e-9
+            assert np.max(
+                np.abs(y_x[:, skip:] - y_p[:, skip:])) / scale < 3e-3, \
+                (seed, k, d, t, nch, n, blk)
 
 
 class TestKernelMath:
