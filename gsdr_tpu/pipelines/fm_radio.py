@@ -38,8 +38,22 @@ _TWO_PI = 6.283185307179586
 def fm_deemphasis_coeffs(tau_seconds, sample_rate):
     """First-order de-emphasis IIR (b, a) via bilinear transform of
     H(s)=1/(1+s*tau). tau = 75e-6 (US) / 50e-6 (EU); sample_rate is the
-    post-decimation audio rate."""
-    k = math.tan(1.0 / (2.0 * float(tau_seconds) * float(sample_rate)))
+    post-decimation audio rate.
+
+    Raises when the prewarp argument 1/(2*tau*fs) reaches pi/2 — past it
+    tan() flips sign and the mapped pole leaves the unit circle, i.e.
+    the discrete filter is UNSTABLE (hit in round 5 at a 4-kHz audio
+    rate with the US 75-us tau: outputs diverge to ~1e21). The validity
+    condition is tau > 1/(pi * audio_rate)."""
+    arg = 1.0 / (2.0 * float(tau_seconds) * float(sample_rate))
+    if arg >= math.pi / 2.0:
+        raise ValueError(
+            f"de-emphasis tau={tau_seconds} is below the bilinear "
+            f"validity limit 1/(pi*audio_rate) = "
+            f"{1.0 / (math.pi * float(sample_rate)):.3g} s at audio rate "
+            f"{sample_rate:.6g} Hz — the mapped pole is unstable. Use a "
+            "larger tau or a higher post-decimation audio rate.")
+    k = math.tan(arg)
     b0 = k / (1.0 + k)
     a1 = (k - 1.0) / (k + 1.0)
     return (b0, b0), (1.0, a1)

@@ -482,6 +482,31 @@ class TestPfbFusedChain:
         skip = 1024 // 128 + 64
         assert np.max(np.abs(y_x[:, skip:] - y_p[:, skip:])) / scale < 2e-3
 
+    def test_k256_grid_matches_xla(self):
+        """K=256 critical, T=2048 (2K = 512-lane DFT bank): the round-4
+        'T < K loses structurally' verdict applies only to SHORT
+        filters — at production T = 8K the PFB front measured 3.5x
+        faster than dense (round 5). Parity with every channel excited.
+
+        tau=300us: at D=256 the audio rate is Fs/256 = 4 kHz and the
+        US 75-us de-emphasis sits past the bilinear prewarp validity
+        limit tau > 1/(pi*f_audio) ~ 80 us (tan argument > pi/2 -> an
+        unstable pole; BOTH implementations diverge identically-ish).
+        A real 256-channel receiver runs a wider Fs; the kernel
+        geometry under test is independent of tau."""
+        import dataclasses as dc
+
+        m_p = dc.replace(self._model(k=256, d=256, t=2048),
+                         deemphasis_tau=300e-6)
+        m_x = dc.replace(m_p, impl="xla")
+        rf = self._rf(m_x, 65536, seed=11)
+        _, y_x = m_x.step(m_x.init(), rf)
+        _, y_p = m_p.step(m_p.init(), rf)
+        y_x, y_p = np.asarray(y_x), np.asarray(y_p)
+        scale = np.max(np.abs(y_x))
+        skip = 2048 // 256 + 96
+        assert np.max(np.abs(y_x[:, skip:] - y_p[:, skip:])) / scale < 2e-3
+
     def test_interchangeable_with_dense_fused(self):
         """The PFB-fronted and Toeplitz-fronted fused kernels share the
         state pytree: a stream may switch between them mid-flight."""

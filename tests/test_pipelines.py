@@ -120,6 +120,19 @@ class TestFmChannelizer:
         # unity DC gain: sum(b)/sum(a) == 1
         assert abs(sum(b) / sum(a) - 1.0) < 1e-9
 
+    def test_deemphasis_unstable_region_raises(self):
+        """Past the bilinear prewarp limit (tau <= 1/(pi*audio_rate))
+        the mapped pole leaves the unit circle — round 5 hit this at a
+        4-kHz audio rate with the US 75-us tau (outputs diverged to
+        ~1e21); the constructor must fail loudly instead."""
+        import pytest
+
+        with pytest.raises(ValueError, match="unstable"):
+            fm_deemphasis_coeffs(75e-6, 4000.0)
+        # just inside the limit: fine and stable
+        b, a = fm_deemphasis_coeffs(90e-6, 4000.0)
+        assert abs(a[1]) < 1.0
+
     def test_fused_plan_keeps_big_blocks_at_odd_n(self):
         """Round-3 bn fix: a non-power-of-two block length must not
         collapse the fused kernel to the minimum 128-column block (N=1e6
