@@ -196,8 +196,17 @@ def hw_overhead():
         channel_frequencies=tuple(
             -480_000.0 + 60_000.0 * i for i in range(16)),
         decimation=4, low_pass_taps=_lowpass(64, 0.03), impl="pallas")
+    # round-5: the wideband PFB front (ns=2 per-shard plans) on real HW
+    from gsdr_tpu.pipelines import FmChannelizer
+    kw = 64
+    fm_wb = FmChannelizer(
+        sample_rate=1_000_000.0, tuning_frequency=0.0,
+        channel_frequencies=tuple(-(1e6 / kw) * i for i in range(kw)),
+        frequency_deviation=75_000.0, decimation=kw,
+        low_pass_taps=_lowpass(512, 0.4 / kw), impl="pfb")
     for name, model, make in (("fm", fm, make_sharded_fm_step),
-                              ("am", am, make_sharded_am_step)):
+                              ("am", am, make_sharded_am_step),
+                              ("fm_wb_pfb", fm_wb, make_sharded_fm_step)):
         sharded = make(model, mesh)
         sec_plain = min(time_step(model.step, model.init(), rf, iters=200,
                                   reps=5) for _ in range(2))
