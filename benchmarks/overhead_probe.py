@@ -17,7 +17,8 @@ Rows per config (consecutive differences = stage costs):
   apply@rotor  — + LO rotor (pfb/dense both)
   apply@disc   — + discriminator atan2
   apply@full   — + de-emphasis scan + carry exports (the whole kernel)
-  e2e          — model.step (bench.py's number, incl. XLA prep/unstack)
+(end-to-end model.step numbers live in bench.py / benchmarks.run_all —
+this harness is kernel-stage attribution only)
 
 Usage:  python -m benchmarks.overhead_probe [--configs flagship,wb64c_t512]
                                             [--rounds 2] [--iters 200]
@@ -118,6 +119,13 @@ def main():
     ap.add_argument("--grades", default="bf16x3")
     ap.add_argument("--stages", default="grid,dot,rotor,disc,full")
     args = ap.parse_args()
+
+    # an unknown ablate value would silently run the FULL kernel under
+    # the wrong label (the kernel's ablate chain has no validation)
+    known = ("grid", "dot", "rotor", "disc", "full")
+    bad = [s for s in args.stages.split(",") if s not in known]
+    if bad:
+        ap.error(f"unknown stage(s) {bad}; choose from {known}")
 
     steps = {}
     for name in args.configs.split(","):

@@ -85,36 +85,51 @@ class MixerStream:
     _MAX_PERIOD = 1 << 24
 
     def __post_init__(self):
-        if self._exact_period() is None:
+        if not self._wrap_is_exact():
             import warnings
             warnings.warn(
                 f"MixerStream(freq_shift_hz={self.freq_shift_hz}, "
-                f"sample_rate={self.sample_rate}): the f/Fs ratio's exact "
-                f"period exceeds {self._MAX_PERIOD} samples, so streaming "
-                "phase continuity is APPROXIMATE (a frac-cycle LO jump "
-                "every ~Fs samples). Quantize the shift to an exactly "
-                "representable ratio (integral Hz at integral Fs, or "
-                "1/2^k Hz multiples).",
+                f"sample_rate={self.sample_rate}): neither round(Fs) nor "
+                f"any period <= {self._MAX_PERIOD} samples is an exact "
+                "period of frac(f*n/Fs), so streaming phase continuity "
+                "is APPROXIMATE (a frac-cycle LO jump at each state "
+                "wrap). Quantize the shift to an exactly representable "
+                "ratio (integral Hz at integral Fs, or 1/2^k Hz "
+                "multiples).",
                 stacklevel=3)
 
-    def _exact_period(self):
-        """Smallest m with frac(f*(n+m)/Fs) == frac(f*n/Fs) for all n, as
-        an int within the index budget — None when it doesn't fit."""
+    def _ratio(self):
         from fractions import Fraction
 
         fs = Fraction(float(self.sample_rate))
         if fs <= 0:
             return None
-        q = (Fraction(float(self.freq_shift_hz)) / fs).denominator
-        return q if q <= self._MAX_PERIOD else None
+        return Fraction(float(self.freq_shift_hz)) / fs
+
+    def _wrap_is_exact(self):
+        """True when _wrap_modulus() is a true period of frac(f*n/Fs) —
+        round(Fs) counts even when the reduced denominator q exceeds the
+        index budget (e.g. any integral shift at an integral Fs > 2^24:
+        q = Fs/gcd may be huge, but f*round(Fs)/Fs is still integral)."""
+        ratio = self._ratio()
+        if ratio is None:
+            return False
+        m = max(1, int(round(self.sample_rate)))
+        return (ratio * m).denominator == 1 \
+            or ratio.denominator <= self._MAX_PERIOD
 
     def _wrap_modulus(self):
         m = max(1, int(round(self.sample_rate)))
-        q = self._exact_period()
-        if q is None:
-            return m  # approximate legacy behavior (warned at construction)
-        # keep the historical mod-Fs state when it is already exact
-        return m if m % q == 0 else q
+        ratio = self._ratio()
+        if ratio is None:
+            return m
+        # keep the historical mod-Fs state whenever it is already exact
+        if (ratio * m).denominator == 1:
+            return m
+        q = ratio.denominator
+        if q <= self._MAX_PERIOD:
+            return q  # exact true period
+        return m  # approximate legacy behavior (warned at construction)
 
     def _table(self):
         return phase_digit_table([self.freq_shift_hz], self.sample_rate)[0]

@@ -97,6 +97,19 @@ class TestMixerStream:
         with pytest.warns(UserWarning, match="APPROXIMATE"):
             MixerStream(freq_shift_hz=0.1, sample_rate=1000.0)
 
+    def test_integral_shift_at_wide_fs_does_not_warn(self):
+        # round-5 review: an integral shift at an integral Fs > 2^24 has
+        # a reduced denominator too large to use as the modulus, but
+        # round(Fs) is still an exact period — no warning, and the wrap
+        # stays at Fs (the legacy-exact case).
+        import warnings
+
+        with warnings.catch_warnings():
+            warnings.simplefilter("error")
+            op = MixerStream(freq_shift_hz=1.0, sample_rate=20_000_000.0)
+        assert op._wrap_modulus() == 20_000_000
+        assert op._wrap_is_exact()
+
 
 class TestFirStream:
     @pytest.mark.parametrize("dec", [1, 2, 4])
