@@ -43,6 +43,11 @@ CONFIGS = {
     "wb64_t512": (64, 64, 16, 512),
     "wb64c_t512": (64, 64, 64, 512),
     "fm256g_t64": (256, 256, 4, 64),
+    # round-5 additions: the P=8 class the extended win rule admits, and
+    # the wide critical grids (PFB measured 2.7x / 3.5x over dense)
+    "wb64_d8_t512": (64, 64, 8, 512),
+    "wb128c_t1024": (128, 128, 128, 1024),
+    "wb256c_t2048": (256, 256, 256, 2048),
 }
 
 
@@ -86,7 +91,11 @@ def main():
         shifts = [b * FS / kg for b in bins]
         taps = _lowpass(t, 0.4 / kg)
         gain = fm_demod_gain(FS, 75_000.0)
-        b_, a_ = fm_deemphasis_coeffs(75e-6, FS / d)
+        # stay inside the de-emphasis bilinear validity region at large
+        # D (tau > 1/(pi*audio_rate); round-5 guard) — tau does not
+        # change the kernel geometry being timed
+        tau = max(75e-6, 1.1 / (np.pi * FS / d))
+        b_, a_ = fm_deemphasis_coeffs(tau, FS / d)
         lo = phase_digit_table(shifts, FS)
         n_buf = N_SAMPLES + t - 1
         buf = ComplexArray(
