@@ -34,6 +34,28 @@ def test_duplex_loopback_recovers_all_channels(impl):
     assert snrs.min() > 15.0, f"audio SNRs {snrs}"
 
 
+def test_qpsk_transmux_error_free_at_25db():
+    """Channelized QPSK digital link (round 5): K QPSK streams through
+    synthesize -> AWGN -> channelize with a one-tap pilot equalizer must
+    be symbol-error-free at 25 dB (the reference's QPSK BER intent,
+    /root/reference/tests/test_qpsk.cpp:172-210, composed through the
+    beyond-parity channel banks)."""
+    from examples.qpsk_transmux import run_transmux
+
+    sers, evms, tot = run_transmux(16, 2048, snr_db=25.0)
+    assert tot > 30_000
+    assert sers.max() == 0.0, sers
+    assert evms.max() < 0.2, evms
+
+
+def test_qpsk_transmux_degrades_with_noise():
+    from examples.qpsk_transmux import run_transmux
+
+    _, evm_hi, _ = run_transmux(8, 1024, snr_db=30.0, seed=2)
+    _, evm_lo, _ = run_transmux(8, 1024, snr_db=5.0, seed=2)
+    assert evm_lo.mean() > evm_hi.mean()
+
+
 def test_duplex_noise_floor_scales_with_channel_snr():
     """Monotonicity (the reference's BER-vs-SNR pattern applied to the
     duplex): more channel noise must not IMPROVE recovered audio."""
