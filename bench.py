@@ -60,10 +60,14 @@ TARGET_MSPS = 0.9 * ROOFLINE_MSPS
 #                      measured stage increments, round-3/5 ablations)
 # vs_sol = 1.0 means the step equals the sum of its stages' measured
 # floors — reachable, and the honest "this kernel is perfect" bar.
-# Readings modestly above 1.0 are the tunnel's run-to-run band around
-# that sum (the floors were measured as per-stage minima in ordinary
-# windows), not a physics violation; the MXU term alone bounds the step
-# below ~88 us = 11.9 Gsps.
+# The stage floors are REFERENCE-SESSION numbers, and chip/tunnel
+# conditions vary up to ~1.3x across sessions with bit-identical code
+# (adjudicated by a round-3-tree worktree A/B, BASELINE round 5), so
+# vs_sol carries that same band: readings in ~[0.75, 1.3] all mean "at
+# the serial floor under current conditions" (1.25 was observed in a
+# fast window the same day 0.95 was). Only excursions beyond the band
+# signal a real kernel change; the grid+MXU terms alone bound the step
+# below ~88 reference-us = 11.9 Gsps.
 SOL_US = 131.0
 SOL_MSPS = N_SAMPLES / (SOL_US * 1e-6) / 1e6
 
