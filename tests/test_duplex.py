@@ -34,6 +34,65 @@ def test_duplex_loopback_recovers_all_channels(impl):
     assert snrs.min() > 15.0, f"audio SNRs {snrs}"
 
 
+def test_streaming_duplex_blocks_match_one_shot():
+    """The full duplex run in BLOCKS — pfb_synthesize_block with carried
+    tails feeding the streaming FmChannelizer with carried state — must
+    reproduce the one-shot pipeline exactly (TX side) and continue the
+    RX stream seamlessly (the reference's caller-managed overlap
+    contracts, replaced by framework state, composed across both
+    banks)."""
+    import jax.numpy as jnp
+
+    from gsdr_tpu.carray import ComplexArray
+    from gsdr_tpu.ops.pfb import pfb_synthesize_block
+    from gsdr_tpu.pipelines import FmChannelizer
+    from examples.wideband_duplex import lowpass
+
+    fs, k, q = 1_024_000.0, 8, 8
+    m = 1024
+    rng = np.random.default_rng(4)
+    fs_ch = fs / k
+    dev = 0.25 * fs_ch / 2.0
+    basebands = np.zeros((k, m), np.complex128)
+    for c in range(k):
+        msg = np.sin(2 * np.pi * (300.0 + 83.0 * c)
+                     * np.arange(m) / fs_ch)
+        basebands[c] = (1.0 / k) * np.exp(
+            1j * (2 * np.pi * (dev / fs_ch) * np.cumsum(msg)))
+    chans = ComplexArray(np.asarray(basebands.real, np.float32),
+                         np.asarray(basebands.imag, np.float32))
+    syn_taps = lowpass(q * k, 0.4 / k)
+
+    # TX: block-split synthesis == one-shot (bit-exact)
+    want, _ = pfb_synthesize_block(chans, syn_taps, k)
+    o1, tail = pfb_synthesize_block(chans[..., :m // 2], syn_taps, k)
+    o2, _ = pfb_synthesize_block(chans[..., m // 2:], syn_taps, k,
+                                 tail=tail)
+    got = np.concatenate([np.asarray(o1.re), np.asarray(o2.re)])
+    np.testing.assert_array_equal(got, np.asarray(want.re))
+
+    # RX: streamed blocks == one big block (state continuation)
+    model = FmChannelizer(
+        sample_rate=fs, tuning_frequency=0.0,
+        channel_frequencies=tuple(
+            c * fs / k if c < k / 2 else c * fs / k - fs
+            for c in range(k)),
+        frequency_deviation=dev, decimation=k,
+        low_pass_taps=tuple(lowpass(q * k, 0.4 / k)), impl="pfb")
+    wide = want
+    st = model.init()
+    _, audio_one = model.step(st, wide)
+    st2 = model.init()
+    outs = []
+    nb = wide.shape[-1] // 4
+    for i in range(4):
+        st2, a = model.step(st2, wide[..., i * nb:(i + 1) * nb])
+        outs.append(np.asarray(a))
+    audio_blocks = np.concatenate(outs, axis=-1)
+    np.testing.assert_allclose(audio_blocks, np.asarray(audio_one),
+                               atol=5e-4)
+
+
 def test_qpsk_transmux_error_free_at_25db():
     """Channelized QPSK digital link (round 5): K QPSK streams through
     synthesize -> AWGN -> channelize with a one-tap pilot equalizer must
