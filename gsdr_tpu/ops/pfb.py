@@ -207,13 +207,14 @@ def mix_fir_decimate_bank_uniform(x, taps, grid_bins, k_grid, decimation):
     return ComplexArray(f[:, 0, :], f[:, 1, :])
 
 
-def pfb_synthesize(channels, taps, num_channels=None):
-    """Critically-sampled PFB SYNTHESIS bank: planar (..., K, M) channel
-    streams -> planar (..., M*K) wideband stream — the transmit-side
-    inverse of pfb_channelize (round 4, beyond reference parity: the
-    reference has per-stream modulators but no channel combiner).
+def pfb_synthesize(channels, taps, num_channels=None, hop=None):
+    """PFB SYNTHESIS bank: planar (..., K, M) channel streams -> planar
+    (..., M*hop) wideband stream — the transmit-side inverse of
+    pfb_channelize (round 4, beyond reference parity: the reference has
+    per-stream modulators but no channel combiner).
 
-    Channel c is placed at +c * Fs / K:
+    Channel c is placed at +c * Fs / K. Critically sampled (hop = K,
+    the default):
 
         x[jK + r] = sum_q hp[r, q] * v[r, j - q],
         v[r, j]   = sum_c y[c, j] e^{+2i pi c r / K}       (inverse DFT)
@@ -226,12 +227,29 @@ def pfb_synthesize(channels, taps, num_channels=None):
     (Q-1) v-columns per channel to avoid block-boundary transients
     (callers via stream.py carry (K, Q-1) state); this one-shot form
     zero-primes instead.
+
+    hop = D < K with D | K (round 5): OVERSAMPLED synthesis — each
+    channel's frame rate is Fs/D (K/D x oversampled), the dual of the
+    analysis side's mix_fir_decimate_bank_uniform(D | K):
+
+        x[n] = D * sum_j h[n - jD] * u_j[n mod K],
+        u_j  = IDFT_K( y[:, j] )
+
+    evaluated per output phase d = n mod D (the modulator e^{2i pi c
+    n/K} has period K, so u_j at lane n mod K is the full modulated
+    sum; the lane window cycles with m mod P, P = K/D). Oversampled
+    banks are what make near-perfect-reconstruction duplex chains
+    possible — the critical bank's adjacent-channel aliasing is
+    structural (BASELINE round-5 256-ary rejection) while a 2x bank
+    round-trips dense QAM cleanly.
     """
     y = channels if is_planar(channels) else \
         ComplexArray.from_complex(jnp.asarray(channels))
     k = int(num_channels) if num_channels is not None else y.shape[-2]
     if y.shape[-2] != k:
         raise ValueError(f"channels axis {y.shape[-2]} != K={k}")
+    if hop is not None and int(hop) != k:
+        return _pfb_synthesize_hop(y, taps, k, int(hop))
     poly = jnp.asarray(pfb_taps_to_polyphase(taps, k)) * float(k)  # (K, Q)
     q = poly.shape[1]
     lead = y.shape[:-2]
@@ -262,6 +280,73 @@ def pfb_synthesize(channels, taps, num_channels=None):
         return jnp.transpose(out, (0, 2, 1)).reshape(lead + (m * k,))
 
     return ComplexArray(interp(v_re), interp(v_im))
+
+
+def _pfb_synthesize_hop(y, taps, k, d):
+    """Oversampled synthesis (hop D < K, D | K): see pfb_synthesize.
+
+    Gain D is folded in (each output sample sums K/D overlapping
+    windows; sum_q h[qD + d] ~ 1/D for a unit-DC prototype, so a
+    DC channel synthesizes to amplitude ~1, matching the critical
+    form's gain-K convention)."""
+    if d <= 0 or k % d != 0:
+        raise ValueError(f"hop {d} must be a positive divisor of K={k}")
+    p_cnt = k // d
+    taps_np = np.asarray(taps, np.float64)
+    q_d = -(-len(taps_np) // d)               # fold depth at stride D
+    hpad = np.zeros(q_d * d)
+    hpad[:len(taps_np)] = taps_np
+    # hd[dph, qq] = h[qq*D + dph] * D  (per-output-phase tap rows)
+    hd = jnp.asarray(
+        (hpad.reshape(q_d, d).T * float(d)).astype(np.float32))  # (D, Qd)
+    lead = y.shape[:-2]
+    m = y.shape[-1]
+    # pad the frame count to a P multiple so every output phase carries
+    # the same frame count through the strided interleave (causal
+    # interpolation: the zero frames only influence outputs at m >= M,
+    # which the final slice drops — output-identical)
+    m_pad = -(-m // p_cnt) * p_cnt
+
+    pad_cols = [(0, 0)] * (y.re.ndim - 1) + [(0, m_pad - m)]
+    ypr = jnp.pad(y.re, pad_cols).reshape((-1, k, m_pad))
+    ypi = jnp.pad(y.im, pad_cols).reshape((-1, k, m_pad))
+
+    # u_j[r] = IDFT_K(y[:, j])[r]: the modulator e^{+2i pi c n/K} has
+    # period K, so u_j evaluated at lane n mod K IS the full modulated
+    # sum — no per-frame phase ramp exists in this direct form (the
+    # critical path is the P=1 specialization)
+    wr, wi = _dft_matrices(k)
+    hi = "highest"
+    u_re = jnp.einsum("cr,bcm->brm", jnp.asarray(wr), ypr, precision=hi) \
+        + jnp.einsum("cr,bcm->brm", jnp.asarray(wi), ypi, precision=hi)
+    u_im = jnp.einsum("cr,bcm->brm", jnp.asarray(wr), ypi, precision=hi) \
+        - jnp.einsum("cr,bcm->brm", jnp.asarray(wi), ypr, precision=hi)
+
+    def interp(u):
+        # x[mD + dph] = sum_qq hd[dph, qq] * u[m - qq, (m mod P)*D + dph]
+        # per output phase p = m mod P: lanes [pD, (p+1)D) of u, a causal
+        # per-lane FIR over m evaluated at m = wP + p (stride-P conv on a
+        # p-shifted input)
+        upad = jnp.pad(u, ((0, 0), (0, 0), (q_d - 1, 0)))
+        outs = []
+        w_cnt = m_pad // p_cnt
+        for p in range(p_cnt):
+            up = upad[:, p * d:(p + 1) * d, p:]            # (B, D, ...)
+            xp = lax.conv_general_dilated(
+                up, hd[:, None, ::-1],                     # causal
+                window_strides=(p_cnt,), padding="VALID",
+                dimension_numbers=("NCH", "OIH", "NCH"),
+                feature_group_count=d,
+                preferred_element_type=jnp.float32,
+                precision=lax.Precision.HIGHEST,
+            )                                              # (B, D, W_p)
+            outs.append(xp[..., :w_cnt])
+        stack = jnp.stack(outs, axis=2)                    # (B, D, P, W)
+        x = jnp.transpose(stack, (0, 3, 2, 1))             # (B, W, P, D)
+        x = x.reshape((x.shape[0], w_cnt * p_cnt * d))[..., :m * d]
+        return x.reshape(lead + (m * d,))
+
+    return ComplexArray(interp(u_re), interp(u_im))
 
 
 def pfb_synthesize_block(channels, taps, num_channels=None, tail=None):
