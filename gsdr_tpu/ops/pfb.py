@@ -349,25 +349,48 @@ def _pfb_synthesize_hop(y, taps, k, d):
     return ComplexArray(interp(u_re), interp(u_im))
 
 
-def pfb_synthesize_block(channels, taps, num_channels=None, tail=None):
-    """Streaming pfb_synthesize: (out (..., M*K), new_tail). ``tail`` is
-    the previous block's last (K, Q-1) channel columns (planar; zeros at
-    stream start) — block-split output is exactly the single-shot output
-    (tested), following the repo's (state, block) convention."""
+def pfb_synthesize_block(channels, taps, num_channels=None, tail=None,
+                         hop=None):
+    """Streaming pfb_synthesize: (out (..., M*hop), new_tail). ``tail``
+    is the previous block's last (K, Qh-1) channel columns, Qh =
+    ceil(T/hop) (planar; zeros at stream start) — block-split output is
+    exactly the single-shot output (tested), following the repo's
+    (state, block) convention. ``hop`` as in pfb_synthesize (default K,
+    critical).
+
+    Frame-phase note for hop < K: the modulator rides on n mod K of the
+    local (tail + block) stream, so block boundaries must sit at global
+    frame offsets that are multiples of P = K/hop for the lane pattern
+    to match the one-shot stream. Two conditions guarantee it: block
+    frame counts are P multiples (validated), and the carried tail is
+    rounded UP to a P multiple of frames (extra history frames only add
+    windows whose outputs fall in the discarded warm-up span —
+    output-identical; at hop=K, P=1 and this reduces exactly to the
+    round-4 critical behavior)."""
     y = channels if is_planar(channels) else \
         ComplexArray.from_complex(jnp.asarray(channels))
     k = int(num_channels) if num_channels is not None else y.shape[-2]
-    q = -(-len(np.asarray(taps)) // k)
+    d = int(hop) if hop is not None else k
+    p_cnt = k // d
+    if d != k and y.shape[-1] % p_cnt != 0:
+        # a non-P-multiple block would shift every later block's output
+        # phase pattern relative to the one-shot stream
+        raise ValueError(
+            f"block frame count {y.shape[-1]} must be a multiple of "
+            f"P = K/hop = {p_cnt} (output-phase alignment across "
+            "blocks)")
+    q = -(-len(np.asarray(taps)) // d)
+    t_len = -(-(q - 1) // p_cnt) * p_cnt   # P-aligned carried history
     if tail is None:
-        tail = ComplexArray.zeros(y.shape[:-1] + (q - 1,))
+        tail = ComplexArray.zeros(y.shape[:-1] + (t_len,))
     buf = ComplexArray(
         jnp.concatenate([tail.re, y.re], axis=-1),
         jnp.concatenate([tail.im, y.im], axis=-1))
-    out = pfb_synthesize(buf, taps, k)
-    # tail from the CONCATENATED stream: a block shorter than Q-1
-    # columns must keep part of the previous tail (code-review round 4)
-    new_tail = buf[..., buf.shape[-1] - (q - 1):]
-    return out[..., (q - 1) * k:], new_tail
+    out = pfb_synthesize(buf, taps, k, hop=d)
+    # tail from the CONCATENATED stream: a block shorter than the tail
+    # must keep part of the previous tail (code-review round 4)
+    new_tail = buf[..., buf.shape[-1] - t_len:]
+    return out[..., t_len * d:], new_tail
 
 
 def pfb_channelize_block(x, taps, num_channels, tail=None, impl="xla"):

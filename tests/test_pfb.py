@@ -385,6 +385,29 @@ class TestPfbSynthesis:
                               axis=-1)
         np.testing.assert_array_equal(gotc, np.asarray(wantc.re))
 
+    def test_oversampled_synthesis_block_split_exact(self):
+        """hop < K streaming: block-split synthesis with the P-aligned
+        carried tail equals the one-shot output exactly (round 5)."""
+        from gsdr_tpu.ops.pfb import pfb_synthesize, pfb_synthesize_block
+
+        rng = np.random.default_rng(6)
+        k, m, d = 16, 192, 8
+        taps = _lowpass(12 * k, 0.55 / k)
+        y = ComplexArray(
+            np.asarray(rng.standard_normal((k, m)), np.float32),
+            np.asarray(rng.standard_normal((k, m)), np.float32))
+        want = pfb_synthesize(y, taps, k, hop=d).to_numpy()
+        outs, tail = [], None
+        for lo, hi in ((0, 64), (64, 96), (96, 192)):
+            o, tail = pfb_synthesize_block(y[..., lo:hi], taps, k,
+                                           tail=tail, hop=d)
+            outs.append(o.to_numpy())
+        got = np.concatenate(outs)
+        np.testing.assert_array_equal(got, want)
+        # a non-P-multiple block must refuse (phase alignment)
+        with pytest.raises(ValueError, match="multiple of"):
+            pfb_synthesize_block(y[..., :33], taps, k, hop=d)
+
     def test_streaming_block_must_be_k_multiple(self):
         """A block whose length is not a K-multiple would silently restart
         frame alignment for every later block (the carried tail is always
