@@ -256,15 +256,9 @@ def pfb_synthesize(channels, taps, num_channels=None, hop=None):
     m = y.shape[-1]
 
     # v[r, j] = sum_c y[c, j] W^{+cr}: one (K x K) matmul per plane pair
-    wr, wi = _dft_matrices(k)     # W[c, r] = e^{-2i pi cr / K}
-    # e^{+2i pi cr/K} = conj: (wr, -wi); contract the CHANNEL axis
-    hi = "highest"
     yr = y.re.reshape((-1, k, m))
     yi = y.im.reshape((-1, k, m))
-    v_re = jnp.einsum("cr,bcm->brm", jnp.asarray(wr), yr, precision=hi) \
-        + jnp.einsum("cr,bcm->brm", jnp.asarray(wi), yi, precision=hi)
-    v_im = jnp.einsum("cr,bcm->brm", jnp.asarray(wr), yi, precision=hi) \
-        - jnp.einsum("cr,bcm->brm", jnp.asarray(wi), yr, precision=hi)
+    v_re, v_im = _idft_channels(yr, yi, k)
 
     def interp(v):
         # x-phase r at output frame j: causal per-lane FIR over j
@@ -282,6 +276,19 @@ def pfb_synthesize(channels, taps, num_channels=None, hop=None):
     return ComplexArray(interp(v_re), interp(v_im))
 
 
+def _idft_channels(yr, yi, k):
+    """u[b, r, m] = sum_c y[b, c, m] e^{+2i pi c r / K}: the synthesis
+    banks' channel-axis inverse DFT as two (K x K) HIGHEST-precision
+    matmuls per plane (shared by the critical and hop paths)."""
+    wr, wi = _dft_matrices(k)     # W[c, r] = e^{-2i pi cr / K}
+    hi = "highest"                # e^{+...} = conj: (wr, -wi)
+    u_re = jnp.einsum("cr,bcm->brm", jnp.asarray(wr), yr, precision=hi) \
+        + jnp.einsum("cr,bcm->brm", jnp.asarray(wi), yi, precision=hi)
+    u_im = jnp.einsum("cr,bcm->brm", jnp.asarray(wr), yi, precision=hi) \
+        - jnp.einsum("cr,bcm->brm", jnp.asarray(wi), yr, precision=hi)
+    return u_re, u_im
+
+
 def _pfb_synthesize_hop(y, taps, k, d):
     """Oversampled synthesis (hop D < K, D | K): see pfb_synthesize.
 
@@ -292,13 +299,9 @@ def _pfb_synthesize_hop(y, taps, k, d):
     if d <= 0 or k % d != 0:
         raise ValueError(f"hop {d} must be a positive divisor of K={k}")
     p_cnt = k // d
-    taps_np = np.asarray(taps, np.float64)
-    q_d = -(-len(taps_np) // d)               # fold depth at stride D
-    hpad = np.zeros(q_d * d)
-    hpad[:len(taps_np)] = taps_np
     # hd[dph, qq] = h[qq*D + dph] * D  (per-output-phase tap rows)
-    hd = jnp.asarray(
-        (hpad.reshape(q_d, d).T * float(d)).astype(np.float32))  # (D, Qd)
+    hd = jnp.asarray(pfb_taps_to_polyphase(taps, d)) * float(d)  # (D, Qd)
+    q_d = hd.shape[1]
     lead = y.shape[:-2]
     m = y.shape[-1]
     # pad the frame count to a P multiple so every output phase carries
@@ -315,12 +318,7 @@ def _pfb_synthesize_hop(y, taps, k, d):
     # period K, so u_j evaluated at lane n mod K IS the full modulated
     # sum — no per-frame phase ramp exists in this direct form (the
     # critical path is the P=1 specialization)
-    wr, wi = _dft_matrices(k)
-    hi = "highest"
-    u_re = jnp.einsum("cr,bcm->brm", jnp.asarray(wr), ypr, precision=hi) \
-        + jnp.einsum("cr,bcm->brm", jnp.asarray(wi), ypi, precision=hi)
-    u_im = jnp.einsum("cr,bcm->brm", jnp.asarray(wr), ypi, precision=hi) \
-        - jnp.einsum("cr,bcm->brm", jnp.asarray(wi), ypr, precision=hi)
+    u_re, u_im = _idft_channels(ypr, ypi, k)
 
     def interp(u):
         # x[mD + dph] = sum_qq hd[dph, qq] * u[m - qq, (m mod P)*D + dph]
@@ -371,6 +369,8 @@ def pfb_synthesize_block(channels, taps, num_channels=None, tail=None,
         ComplexArray.from_complex(jnp.asarray(channels))
     k = int(num_channels) if num_channels is not None else y.shape[-2]
     d = int(hop) if hop is not None else k
+    if d <= 0 or k % d != 0:
+        raise ValueError(f"hop {d} must be a positive divisor of K={k}")
     p_cnt = k // d
     if d != k and y.shape[-1] % p_cnt != 0:
         # a non-P-multiple block would shift every later block's output

@@ -300,8 +300,13 @@ class TestPfbSynthesis:
         err = np.max(np.abs(got - ref)) / np.max(np.abs(ref))
         assert err < 1e-5, err
 
-    def test_oversampled_synthesis_hop_k_is_critical_path(self):
-        from gsdr_tpu.ops.pfb import pfb_synthesize
+    def test_oversampled_synthesis_reduces_to_critical_at_p1(self):
+        """The HOP implementation evaluated at D=K (P=1) must reproduce
+        the critical path's output — calling _pfb_synthesize_hop
+        directly, because pfb_synthesize(hop=K) dispatches to the
+        critical code and comparing that would be f(x)==f(x)
+        (round-5 review)."""
+        from gsdr_tpu.ops.pfb import _pfb_synthesize_hop, pfb_synthesize
 
         rng = np.random.default_rng(4)
         k, m = 16, 64
@@ -310,8 +315,17 @@ class TestPfbSynthesis:
             np.asarray(rng.standard_normal((k, m)), np.float32),
             np.asarray(rng.standard_normal((k, m)), np.float32))
         a = pfb_synthesize(y, taps, k).to_numpy()
-        b = pfb_synthesize(y, taps, k, hop=k).to_numpy()
-        np.testing.assert_array_equal(a, b)
+        b = _pfb_synthesize_hop(y, taps, k, k).to_numpy()
+        np.testing.assert_allclose(b, a, atol=2e-5 * np.max(np.abs(a)))
+
+    def test_synthesize_block_invalid_hop_raises(self):
+        from gsdr_tpu.ops.pfb import pfb_synthesize_block
+
+        y = ComplexArray.zeros((8, 16))
+        taps = _lowpass(32, 0.05)
+        for bad in (16, 0, -4, 3):
+            with pytest.raises(ValueError, match="divisor"):
+                pfb_synthesize_block(y, taps, 8, hop=bad)
 
     def test_oversampled_duplex_transports_bandlimited_baseband(self):
         """2x-oversampled synthesis against the 2x-oversampled analysis
@@ -347,7 +361,9 @@ class TestPfbSynthesis:
             ramp = np.exp(-2j * np.pi * c * d * np.arange(span) / k)
             z = out[c, :span] * ramp
             ref = bb[c, :span]
-            g = np.conjugate(np.vdot(ref, z) / np.vdot(ref, ref))
+            # z ~ g*ref => g = <ref, z>/<ref, ref> (vdot conjugates its
+            # first arg; an extra conjugate would double channel phase)
+            g = np.vdot(ref, z) / np.vdot(ref, ref)
             evm = np.sqrt(np.mean(np.abs(z / g - ref) ** 2)
                           / np.mean(np.abs(ref) ** 2))
             assert evm < 0.03, (c, evm)
