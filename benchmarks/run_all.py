@@ -162,7 +162,10 @@ def bench_fm_wideband(n, iters, impl="pfb", dec=64, k=64):
         frequency_deviation=75_000.0, decimation=dec,
         low_pass_taps=_lowpass(8 * k, 0.4 / k), impl=impl)
     rf = _noise(n)
-    mult = 20 if dec == k else 5
+    # the round-5 ns=2 PFB default runs the critical step at ~65 us:
+    # 200 chained iters (13 ms) no longer clear the ~40 ms dispatch
+    # floor and time_step refuses — 40x it is
+    mult = 40 if dec == k else 5
     sec = time_step(model.step, model.init(), rf, iters=iters * mult)
     name = "crit" if dec == k else f"d{dec}"
     return {"metric": f"fm_wideband_{k}ch_{name}_{impl}_input_msps",
@@ -263,8 +266,9 @@ def bench_iir(n, iters, impl="auto"):
         return zf[0], y
 
     # the kernel is ~60 us at 1M samples: many iterations needed to rise
-    # above the tunnel's per-dispatch noise
-    sec = time_step(step, jnp.float32(0.0), x, iters=iters * 20)
+    # above the tunnel's per-dispatch noise (200 iters = 12 ms measured
+    # borderline-refused in round 5; 40x clears it)
+    sec = time_step(step, jnp.float32(0.0), x, iters=iters * 40)
     return {"metric": f"iir_biquad_{impl}_msps",
             "value": round(n / sec / 1e6, 2), "unit": "Msamples/s"}
 
